@@ -1,0 +1,47 @@
+"""Long ↔ wide reshaping (reference: fforma/utils/reshaping.py).
+
+The canonical engine input is already wide (tokens array per doc);
+these operators move between that and the long panel (doc_id, pos, val)
+— the reference's long_to_wide / wide_to_long pair
+(fforma/utils/reshaping.py:12-40,61-90; vectorized variant
+fforma/utils/evaluation.py:144-154) — using posexplode/collect_list so
+arrays stay Arrow-columnar end to end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def explode_panel(seq_df: DataFrame, value_type: str = "double") -> DataFrame:
+    """wide→long: (doc_id, tokens) → (doc_id, pos, val).
+
+    Equivalent of the reference's wide_to_long
+    (fforma/utils/reshaping.py:61-90); empty-token docs drop out, as the
+    reference's explode does for empty lists.
+    """
+    return seq_df.select(
+        "doc_id",
+        F.posexplode("tokens").alias("pos", "val"),
+    ).select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.col("val").cast(value_type).alias("val"),
+    )
+
+
+def collect_series(panel: DataFrame, value_type: str = "double") -> DataFrame:
+    """long→wide: (doc_id, pos, val) → (doc_id, vals array sorted by pos).
+
+    Equivalent of long_to_wide (fforma/utils/reshaping.py:12-40).
+    sort_array on the (pos, val) struct guarantees position order
+    regardless of shuffle nondeterminism — the engine's
+    sort-before-reduce discipline (SURVEY.md §7.3).
+    """
+    return panel.groupBy("doc_id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "val"))),
+            lambda s: s["val"].cast(value_type),
+        ).alias("vals"),
+        F.count("*").cast("int").alias("n"),
+    )
