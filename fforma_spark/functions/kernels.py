@@ -1,0 +1,529 @@
+"""Per-series numpy kernels — the engine's scalar function library.
+
+These are written from scratch as vectorized numpy, with semantics
+matching the reference (citations give file:line into /root/reference
+for the behavior contract, not the code). They serve double duty:
+
+1. executed inside Arrow-batched pandas UDFs on executors (the engine's
+   "slow path" for sequential kernels — SURVEY.md §2.6);
+2. the single-node oracle the Spark results are tested against
+   bit-for-bit (SURVEY.md §5.2).
+
+No scipy dependency: the bounded 1-D smoothing-constant search uses
+golden-section (import-gated to scipy's L-BFGS-B when available, which
+is what the reference uses — fforma/base/_models.py:569-584).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+try:  # pragma: no cover
+    from scipy.optimize import minimize as _scipy_minimize
+except Exception:  # noqa: BLE001
+    _scipy_minimize = None
+
+
+# ---------------------------------------------------------------------------
+# Naive2 utils (semantics: fforma/base/_models.py:22-152)
+# ---------------------------------------------------------------------------
+
+
+def detrend_coeffs(x: np.ndarray) -> tuple[float, float]:
+    """Least-squares line fit (slope, intercept) against 0..n-1.
+
+    Same contract as np.polyfit(x, y, 1) used by the reference
+    (fforma/base/_models.py:22-30); closed form so the Spark SQL
+    covar_pop/var_pop expression matches it exactly.
+    """
+    n = len(x)
+    t = np.arange(n, dtype=np.float64)
+    tm, xm = t.mean(), x.mean()
+    denom = ((t - tm) ** 2).sum()
+    slope = float(((t - tm) * (x - xm)).sum() / denom) if denom else 0.0
+    return slope, float(xm - slope * tm)
+
+
+def acf(x: np.ndarray, k: int) -> float:
+    """Autocorrelation at lag k: mean-centered, biased (full-sum)
+    denominator — fforma/base/_models.py:136-152."""
+    x = np.asarray(x, dtype=np.float64)
+    m = x.mean()
+    d = x - m
+    s2 = float((d * d).sum())
+    if k >= len(x) or s2 == 0.0:
+        return float("nan") if s2 == 0.0 else 0.0
+    s1 = float((d[k:] * d[:-k]).sum())
+    return s1 / s2
+
+
+def seasonality_test(x: np.ndarray, ppy: int) -> bool:
+    """90% significance test of the lag-ppy autocorrelation
+    (fforma/base/_models.py:118-134)."""
+    s = acf(x, 1)
+    for i in range(2, ppy):
+        s += acf(x, i) ** 2
+    if (1 + 2 * s) > 0:
+        limit = 1.645 * math.sqrt((1 + 2 * s) / len(x))
+    else:
+        limit = 0.0
+    return abs(acf(x, ppy)) > limit
+
+
+def centered_ma(x: np.ndarray, window: int) -> np.ndarray:
+    """Centered moving average with the reference's documented quirk:
+    the double-MA branch triggers on even SERIES length, not even
+    window (fforma/base/_models.py:91-116 — kept verbatim "in order
+    for the results to be fully replicable")."""
+    import pandas as pd
+
+    s = pd.Series(np.asarray(x, dtype=np.float64))
+    if len(s) % 2 == 0:
+        ma = s.rolling(window, center=True).mean()
+        ma = ma.rolling(2, center=True).mean()
+        return np.roll(ma.to_numpy(), -1)
+    return s.rolling(window, center=True).mean().to_numpy()
+
+
+def seasonal_indices(x: np.ndarray, ppy: int) -> np.ndarray:
+    """Ratio-to-moving-average seasonal indices, normalized to mean 100
+    (fforma/base/_models.py:32-57). Returns ones when the seasonality
+    test fails or ppy == 1."""
+    x = np.asarray(x, dtype=np.float64)
+    if ppy <= 1 or len(x) < 2 * ppy or not seasonality_test(x, ppy):
+        return np.ones(ppy)
+    ma = centered_ma(x, ppy)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ratio = x * 100.0 / ma
+    pad = ppy - (len(ratio) % ppy)
+    ratio = np.concatenate([ratio, np.full(pad, np.nan)])
+    si = np.nanmean(ratio.reshape(-1, ppy), axis=0)
+    si = si / (si.sum() / (ppy * 100.0))
+    return si
+
+
+def ses_run(alpha: float, x: np.ndarray) -> tuple[np.ndarray, float]:
+    """Simple exponential smoothing: (fitted, next-step forecast)
+    (fforma/base/_models.py:59-72). O(n) scan via the linear
+    recurrence; done with a float loop — cheap per series."""
+    x = np.asarray(x, dtype=np.float64)
+    level = x[0]
+    fitted = np.empty(len(x))
+    for i, v in enumerate(x):
+        fitted[i] = level
+        level = alpha * v + (1 - alpha) * level
+    return fitted, float(level)
+
+
+def ses_mse(alpha: float, x: np.ndarray) -> float:
+    """In-sample one-step MSE of SES (fforma/base/_models.py:568-575)."""
+    fitted, _ = ses_run(alpha, x)
+    return float(np.mean((fitted - x) ** 2))
+
+
+def optimize_alpha(x: np.ndarray, lo: float = 0.1, hi: float = 0.3) -> float:
+    """Bounded 1-D minimization of ses_mse on [lo, hi].
+
+    Reference uses L-BFGS-B (fforma/base/_models.py:578-580,648-651);
+    used when scipy is present, else golden-section (same optimum for
+    this smooth 1-D objective to ~1e-8).
+    """
+    if _scipy_minimize is not None:  # pragma: no cover
+        res = _scipy_minimize(
+            fun=lambda a: ses_mse(float(np.atleast_1d(a)[0]), x),
+            x0=0,
+            bounds=[(lo, hi)],
+            method="L-BFGS-B",
+        )
+        return float(np.atleast_1d(res.x)[0])
+    invphi = (math.sqrt(5) - 1) / 2
+    a, b = lo, hi
+    c, d = b - invphi * (b - a), a + invphi * (b - a)
+    fc, fd = ses_mse(c, x), ses_mse(d, x)
+    for _ in range(60):
+        if fc < fd:
+            b, d, fd = d, c, fc
+            c = b - invphi * (b - a)
+            fc = ses_mse(c, x)
+        else:
+            a, c, fc = c, d, fd
+            d = a + invphi * (b - a)
+            fd = ses_mse(d, x)
+        if b - a < 1e-9:
+            break
+    return (a + b) / 2
+
+
+def sexps_forecast(x: np.ndarray) -> float:
+    """Optimal-alpha SES one-step forecast (fforma/base/_models.py:578-584)."""
+    alpha = optimize_alpha(x)
+    _, fc = ses_run(alpha, x)
+    return fc
+
+
+# Sparse-series helpers (fforma/base/_models.py:601-620)
+
+
+def demand(x: np.ndarray) -> np.ndarray:
+    return x[x > 0]
+
+
+def probability(x: np.ndarray) -> np.ndarray:
+    return (x != 0).astype(np.int64).ravel()
+
+
+def intervals(x: np.ndarray) -> np.ndarray:
+    """Gaps (in steps) between successive nonzero values, where the
+    count resets to 1 after each nonzero (fforma/base/_models.py:606-618)."""
+    x = np.asarray(x).ravel()
+    nz = np.flatnonzero(x != 0)
+    if nz.size == 0:
+        return np.array([], dtype=np.int64)
+    out = np.empty(nz.size, dtype=np.int64)
+    out[0] = nz[0] + 1
+    out[1:] = np.diff(nz)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Forecast models (fforma/base/_models.py:224-473,622-820). Each takes the
+# train series + horizon (+ seasonality) and returns an h-vector.
+# ---------------------------------------------------------------------------
+
+
+def naive(y: np.ndarray, h: int) -> np.ndarray:
+    """Repeat last value (fforma/base/_models.py:224-258)."""
+    return np.full(h, float(y[-1]))
+
+
+def seasonal_naive(y: np.ndarray, h: int, seasonality: int) -> np.ndarray:
+    """Tile the last season (fforma/base/_models.py:261-306)."""
+    tail = np.asarray(y, dtype=np.float64)[-seasonality:]
+    reps = int(np.ceil(h / seasonality))
+    return np.tile(tail, reps)[:h]
+
+
+def naive2(y: np.ndarray, h: int, seasonality: int) -> np.ndarray:
+    """Deseasonalize → Naive → reseasonalize — the OWA benchmark
+    (fforma/base/_models.py:309-358)."""
+    y = np.asarray(y, dtype=np.float64)
+    si = seasonal_indices(y, seasonality)
+    windows = int(np.ceil(len(y) / seasonality))
+    s_hat = np.tile(si, windows)[: len(y)]
+    ts_des = y / s_hat
+    s_fc = seasonal_naive(s_hat, h, seasonality)
+    r_fc = naive(ts_des, h)
+    return s_fc * r_fc
+
+
+def rw_drift(y: np.ndarray, h: int) -> np.ndarray:
+    """Last value drifted by global trend (fforma/base/_models.py:361-398)."""
+    y = np.asarray(y, dtype=np.float64)
+    drift = (float(y[-1]) - float(y[0])) / (len(y) - 1) if len(y) > 1 else 0.0
+    return float(y[-1]) + drift * np.arange(1, h + 1, dtype=np.float64)
+
+
+def average(y: np.ndarray, h: int) -> np.ndarray:
+    """Global mean (fforma/base/_models.py:400-419)."""
+    return np.full(h, float(np.mean(y)))
+
+
+def moving_average(y: np.ndarray, h: int, n_obs: int = 2) -> np.ndarray:
+    """Mean of last n_obs (fforma/base/_models.py:421-440)."""
+    return np.full(h, float(np.mean(y[-n_obs:])))
+
+
+def seasonal_moving_average(
+    y: np.ndarray, h: int, seasonality: int, n_seasons: int = 2
+) -> np.ndarray:
+    """Per-season mean of the last n_seasons seasons
+    (fforma/base/_models.py:443-473)."""
+    y = np.asarray(y, dtype=np.float64)
+    tail = y[-(seasonality * n_seasons):]
+    season_vals = np.array(
+        [tail[i::seasonality].mean() for i in range(seasonality)]
+    )
+    return season_vals[np.arange(h) % seasonality]
+
+
+def croston(y: np.ndarray, h: int, kind: str = "classic") -> np.ndarray:
+    """Croston's intermittent-demand method
+    (fforma/base/_models.py:622-684)."""
+    y = np.asarray(y, dtype=np.float64).ravel()
+    yd = demand(y)
+    if yd.size == 0:
+        return np.zeros(h)
+    yi = intervals(y).astype(np.float64)
+    mult = 0.95 if kind == "sba" else 1.0
+    if kind == "optimized":
+        a1, a2 = optimize_alpha(yd), optimize_alpha(yi)
+    else:
+        a1 = a2 = 0.1
+    _, ydp = ses_run(a1, yd)
+    _, yip = ses_run(a2, yi)
+    return np.full(h, ydp / yip * mult)
+
+
+def tsb(y: np.ndarray, h: int) -> np.ndarray:
+    """Teunter–Syntetos–Babai grid-search double smoothing
+    (fforma/base/_models.py:687-752). Vectorized over the 9×7 grid."""
+    y = np.asarray(y, dtype=np.float64).ravel()
+    p = probability(y).astype(np.float64)
+    if demand(y).size == 0:
+        return np.zeros(h)
+    n = len(y)
+    a_grid = np.array([0.1, 0.15, 0.2, 0.25, 0.3, 0.35, 0.4, 0.5, 0.8])
+    b_grid = np.array([0.01, 0.02, 0.03, 0.05, 0.1, 0.2, 0.3])
+    aa, bb = np.meshgrid(a_grid, b_grid, indexing="ij")
+    aa, bb = aa.ravel(), bb.ravel()
+    g = aa.size
+    pfit = np.empty((g, n))
+    zfit = np.empty((g, n))
+    pfit[:, 0] = p[0]
+    zfit[:, 0] = demand(y)[0]
+    for i in range(1, n):
+        pfit[:, i] = pfit[:, i - 1] + aa * (p[i] - pfit[:, i - 1])
+        if p[i] == 0:
+            zfit[:, i] = zfit[:, i - 1]
+        else:
+            zfit[:, i] = zfit[:, i - 1] + bb * (y[i] - zfit[:, i - 1])
+    yfit = pfit * zfit
+    fc = yfit[:, -1]
+    shifted = np.concatenate([np.full((g, 1), np.nan), yfit[:, :-1]], axis=1)
+    mse_g = np.nanmean((shifted - y) ** 2, axis=1)
+    return np.full(h, fc[int(np.argmin(mse_g))])
+
+
+def _bucket_sums(y: np.ndarray, al: int) -> np.ndarray:
+    """Complete leading-aligned buckets of width al, skipping the
+    remainder at the FRONT (fforma/base/_models.py:766-769: the lost
+    remainder is the first len(y) % al values)."""
+    y = np.asarray(y, dtype=np.float64).ravel()
+    rem = len(y) % al
+    body = y[rem:]
+    return body.reshape(-1, al).sum(axis=1)
+
+
+def adida(y: np.ndarray, h: int) -> np.ndarray:
+    """Aggregate-disaggregate intermittent demand
+    (fforma/base/_models.py:755-786)."""
+    y = np.asarray(y, dtype=np.float64).ravel()
+    inters = intervals(y)
+    if inters.size == 0:
+        return np.zeros(h)
+    al = int(round(inters.mean()))
+    if al < 1:
+        al = 1
+    agg = _bucket_sums(y, al)
+    return np.full(h, sexps_forecast(agg) / al)
+
+
+def imapa(y: np.ndarray, h: int) -> np.ndarray:
+    """ADIDA averaged over aggregation levels 1..mal
+    (fforma/base/_models.py:789-820)."""
+    y = np.asarray(y, dtype=np.float64).ravel()
+    inters = intervals(y)
+    if inters.size == 0:
+        return np.zeros(h)
+    mal = max(int(round(inters.mean())), 1)
+    fcs = [
+        sexps_forecast(_bucket_sums(y, al)) / al for al in range(1, mal + 1)
+    ]
+    return np.full(h, float(np.mean(fcs)))
+
+
+# ---------------------------------------------------------------------------
+# tsfeatures-style per-series features (reference vocabulary:
+# fforma/experiments/experiment.py:414, business/base_forecasts.py:126-127;
+# called via the external tsfeatures dep, requirements.txt:30). Definitions
+# follow the published tsfeatures/Hyndman formulations; exact constructions
+# documented inline since they double as this engine's oracle.
+# ---------------------------------------------------------------------------
+
+
+def spectral_entropy(x: np.ndarray) -> float:
+    """Shannon entropy of the normalized periodogram, scaled to [0,1].
+
+    tsfeatures' `entropy` (ForeCA-style spectral entropy of the series;
+    vocabulary attested at fforma/experiments/business/base_forecasts.py:127).
+    """
+    x = np.asarray(x, dtype=np.float64)
+    x = x - x.mean()
+    if len(x) < 2 or not x.any():
+        return 0.0
+    fft = np.fft.rfft(x)
+    psd = (fft.real**2 + fft.imag**2)[1:]  # drop DC
+    total = psd.sum()
+    if total <= 0:
+        return 0.0
+    p = psd / total
+    p = p[p > 0]
+    return float(-(p * np.log(p)).sum() / math.log(len(psd)))
+
+
+def decompose_strengths(x: np.ndarray, ppy: int) -> tuple[float, float]:
+    """(trend_strength, seasonal_strength) via a classical
+    ratio-to-moving-average decomposition: trend = centered MA,
+    seasonal = normalized seasonal indices (the Naive2 machinery,
+    fforma/base/_models.py:32-57), remainder = y / (trend*seasonal).
+
+    Strengths are Hyndman variance ratios in the multiplicative form
+    (components normalized to be dimensionless around 1):
+      trend    = max(0, 1 - var(remainder) / var(deseasoned/mean))
+      seasonal = max(0, 1 - var(remainder) / var(detrended))
+    """
+    x = np.asarray(x, dtype=np.float64)
+    n = len(x)
+    if ppy > 1 and n >= 2 * ppy:
+        si = seasonal_indices(x, ppy)
+        s_hat = np.tile(si, int(np.ceil(n / ppy)))[:n] / 100.0
+    else:
+        s_hat = np.ones(n)
+    window = ppy if ppy > 1 else min(max((n // 8) * 2 + 1, 3), n)
+    t_hat = centered_ma(x, window)
+    ok = ~np.isnan(t_hat) & (np.abs(s_hat) > 1e-12) & (np.abs(t_hat) > 1e-12)
+    if ok.sum() < 3:
+        return 0.0, 0.0
+    remainder = x[ok] / (t_hat[ok] * s_hat[ok])      # ≈ 1
+    detrended = x[ok] / t_hat[ok]                    # ≈ seasonal·remainder
+    deseasoned = x[ok] / s_hat[ok]                   # ≈ trend·remainder
+    dmean = deseasoned.mean()
+    if dmean == 0:
+        return 0.0, 0.0
+    vr = float(np.var(remainder))
+    vt = float(np.var(deseasoned / dmean))
+    vs = float(np.var(detrended))
+    trend_strength = max(0.0, 1.0 - vr / vt) if vt > 0 else 0.0
+    seasonal_strength = (
+        max(0.0, 1.0 - vr / vs) if (ppy > 1 and vs > 0) else 0.0
+    )
+    return float(trend_strength), float(seasonal_strength)
+
+
+def lumpiness(x: np.ndarray, width: int) -> float:
+    """Variance of block variances (tsfeatures `lumpiness`); blocks of
+    ``width``, remainder dropped at the end."""
+    x = np.asarray(x, dtype=np.float64)
+    nb = len(x) // width
+    if nb < 2:
+        return 0.0
+    blocks = x[: nb * width].reshape(nb, width)
+    return float(np.var(blocks.var(axis=1, ddof=1), ddof=1))
+
+
+def stability(x: np.ndarray, width: int) -> float:
+    """Variance of block means (tsfeatures `stability`)."""
+    x = np.asarray(x, dtype=np.float64)
+    nb = len(x) // width
+    if nb < 2:
+        return 0.0
+    blocks = x[: nb * width].reshape(nb, width)
+    return float(np.var(blocks.mean(axis=1), ddof=1))
+
+
+def crossing_points(x: np.ndarray) -> int:
+    """Number of crossings of the series median (tsfeatures
+    `crossing_points`; vocabulary at fforma/experiments/experiment.py:414)."""
+    x = np.asarray(x, dtype=np.float64)
+    above = x > np.median(x)
+    return int((above[1:] != above[:-1]).sum())
+
+
+def flat_spots(x: np.ndarray, nbins: int = 10) -> int:
+    """Longest run within one of 10 equal-width value bins
+    (tsfeatures `flat_spots`)."""
+    x = np.asarray(x, dtype=np.float64)
+    lo, hi = x.min(), x.max()
+    if hi == lo:
+        return len(x)
+    # right-closed equal-width bins like pandas.cut(x, nbins)
+    width = (hi - lo) / nbins
+    b = np.ceil((x - lo) / width).astype(np.int64)
+    b[b < 1] = 1
+    runs = np.flatnonzero(np.concatenate([[True], b[1:] != b[:-1], [True]]))
+    return int(np.diff(runs).max())
+
+
+def hurst_exponent(x: np.ndarray) -> float:
+    """Rescaled-range Hurst estimate over power-of-two block sizes."""
+    x = np.asarray(x, dtype=np.float64)
+    n = len(x)
+    if n < 20 or np.var(x) == 0:
+        return 0.5
+    sizes = []
+    size = 10
+    while size <= n // 2:
+        sizes.append(size)
+        size *= 2
+    if len(sizes) < 2:
+        return 0.5
+    rs = []
+    for s in sizes:
+        nb = n // s
+        blocks = x[: nb * s].reshape(nb, s)
+        dev = blocks - blocks.mean(axis=1, keepdims=True)
+        z = dev.cumsum(axis=1)
+        r = z.max(axis=1) - z.min(axis=1)
+        sd = blocks.std(axis=1, ddof=1)
+        ok = sd > 0
+        if not ok.any():
+            continue
+        rs.append((r[ok] / sd[ok]).mean())
+    if len(rs) < 2:
+        return 0.5
+    logn = np.log(np.asarray(sizes[: len(rs)], dtype=np.float64))
+    slope, _ = np.polyfit(logn, np.log(np.asarray(rs)), 1)
+    return float(slope)
+
+
+FEATURE_NAMES = [
+    "series_length",
+    "mean",
+    "variance",
+    "trend_slope",
+    "trend_intercept",
+    "x_acf1",
+    "x_acf10",
+    "entropy",
+    "trend",
+    "seasonal_strength",
+    "lumpiness",
+    "stability",
+    "crossing_points",
+    "flat_spots",
+    "hurst",
+    "nonzero_ratio",
+]
+
+
+def feature_vector(x: np.ndarray, seasonality: int) -> dict[str, float]:
+    """All T0 features for one series; NaN→0 per the Hyndman fillna(0)
+    convention (fforma/experiments/base/common.py:139)."""
+    x = np.asarray(x, dtype=np.float64)
+    n = len(x)
+    slope, intercept = detrend_coeffs(x)
+    acf1 = acf(x, 1) if n > 1 else 0.0
+    acf10 = float(sum(acf(x, k) ** 2 for k in range(1, min(11, n))))
+    trend_s, seas_s = decompose_strengths(x, seasonality)
+    width = seasonality if seasonality > 1 else 10
+    out = {
+        "series_length": float(n),
+        "mean": float(x.mean()),
+        "variance": float(x.var(ddof=1)) if n > 1 else 0.0,
+        "trend_slope": slope,
+        "trend_intercept": intercept,
+        "x_acf1": acf1,
+        "x_acf10": acf10,
+        "entropy": spectral_entropy(x),
+        "trend": trend_s,
+        "seasonal_strength": seas_s,
+        "lumpiness": lumpiness(x, width),
+        "stability": stability(x, width),
+        "crossing_points": float(crossing_points(x)),
+        "flat_spots": float(flat_spots(x)),
+        "hurst": hurst_exponent(x),
+        "nonzero_ratio": float((x != 0).mean()),
+    }
+    return {k: (0.0 if (v is None or not np.isfinite(v)) else float(v)) for k, v in out.items()}

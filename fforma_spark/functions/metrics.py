@@ -1,0 +1,129 @@
+"""Per-series forecast-accuracy metrics as Catalyst aggregates.
+
+Semantics match fforma/metrics/numpy/metrics.py exactly:
+  mse   :15-36   mean((y - y_hat)^2)
+  mae   :64-88   mean(|y - y_hat|)
+  mape  :90-115  100 * masked-invalid mean(|y-y_hat| / |y|)
+  smape :117-148 200 * masked-invalid mean(|y-y_hat| / (|y|+|y_hat|))
+  mase  :150-180 100 * mean(|y-y_hat|) / mean(|seasonal diff of train|)
+  mini_owa :207-243  (mase/mase_bench + smape/smape_bench) / 2
+
+"masked-invalid mean" (np.ma.masked_invalid) excludes 0/0 and x/0
+entries from BOTH numerator and denominator → expressed as
+avg(CASE WHEN scale != 0 THEN ratio END) since avg ignores NULLs —
+the divide_no_nan discipline (fforma/metrics/utils.py:6-14).
+
+All are plain groupBy aggregates: one shuffle on doc_id, executed
+JVM-side with whole-stage codegen (no UDFs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _err(model_col: str):
+    return F.col("y") - F.col(model_col)
+
+
+def metric_aggs(model_col: str, prefix: str) -> list:
+    """mse/mae/mape/smape aggregate expressions for one model column."""
+    e = _err(model_col)
+    abs_e = F.abs(e)
+    scale_mape = F.abs(F.col("y"))
+    scale_smape = F.abs(F.col("y")) + F.abs(F.col(model_col))
+    return [
+        F.avg(e * e).alias(f"{prefix}_mse"),
+        F.avg(abs_e).alias(f"{prefix}_mae"),
+        (100 * F.avg(F.when(scale_mape != 0, abs_e / scale_mape))).alias(
+            f"{prefix}_mape"
+        ),
+        (200 * F.avg(F.when(scale_smape != 0, abs_e / scale_smape))).alias(
+            f"{prefix}_smape"
+        ),
+    ]
+
+
+def evaluate_models(
+    truth: DataFrame, forecasts: DataFrame, model_cols: list[str]
+) -> DataFrame:
+    """Join truth ⋈ predictions on (doc_id, pos) then aggregate every
+    model column in ONE pass (fforma/utils/evaluation.py:89-142 /
+    evaluate_panel :42-87, minus the dask fan-out: the join is
+    sort-merge on co-partitioned keys, the agg is map-side partial).
+    """
+    joined = truth.join(forecasts, ["doc_id", "pos"], "left")
+    aggs = []
+    for mc in model_cols:
+        aggs.extend(metric_aggs(mc, mc.removesuffix("_forec")))
+    return joined.groupBy("doc_id").agg(*aggs)
+
+
+def mase_scale(train_panel: DataFrame, seasonality_expr) -> DataFrame:
+    """Per-series MASE denominator: mean |seasonal-naive in-sample
+    error| over the TRAIN split (fforma/metrics/numpy/metrics.py:177).
+
+    ``seasonality_expr`` is a Column giving the per-doc seasonality.
+    Computed with a lag window over the train panel.
+    """
+    left = train_panel.withColumn("_s", seasonality_expr).select(
+        "doc_id", "val", (F.col("pos") - F.col("_s")).alias("_lagpos")
+    )
+    shifted = train_panel.select(
+        "doc_id", F.col("pos").alias("_lagpos"), F.col("val").alias("_sval")
+    )
+    # pure two-key equi-join (doc_id, pos-s == pos): variable-offset lag
+    # without a per-row window; inner join drops the first s positions,
+    # exactly y_train[seasonality:] vs y_train[:-seasonality]
+    return (
+        left.join(shifted, ["doc_id", "_lagpos"])
+        .groupBy("doc_id")
+        .agg(F.avg(F.abs(F.col("val") - F.col("_sval"))).alias("mase_scale"))
+    )
+
+
+def evaluate_with_owa(
+    truth: DataFrame,
+    forecasts: DataFrame,
+    model_cols: list[str],
+    scale_df: DataFrame,
+    bench: str = "naive2_forec",
+) -> DataFrame:
+    """Per-series smape + mase (+ OWA vs the Naive2 benchmark) for every
+    model — the contribution-to-error matrix the meta-learner consumes
+    (fforma/meta_learner/_XGBoost.py:98-119; mini_owa
+    fforma/metrics/numpy/metrics.py:207-243)."""
+    joined = truth.join(forecasts, ["doc_id", "pos"], "left").join(
+        scale_df, "doc_id"
+    )
+    aggs = []
+    for mc in model_cols:
+        p = mc.removesuffix("_forec")
+        e = F.abs(_err(mc))
+        scale_smape = F.abs(F.col("y")) + F.abs(F.col(mc))
+        aggs.append(
+            (200 * F.avg(F.when(scale_smape != 0, e / scale_smape))).alias(
+                f"{p}_smape"
+            )
+        )
+        aggs.append(
+            F.try_divide(100 * F.avg(e), F.first("mase_scale")).alias(
+                f"{p}_mase"
+            )
+        )
+    per_series = joined.groupBy("doc_id").agg(*aggs)
+    bench_p = bench.removesuffix("_forec")
+    for mc in model_cols:
+        p = mc.removesuffix("_forec")
+        # NULL (0/0, e.g. constant series where every model is exact)
+        # mirrors the reference's NaN, handled downstream by the
+        # fillna(0) convention (fforma/experiments/base/common.py:139)
+        per_series = per_series.withColumn(
+            f"{p}_owa",
+            (
+                F.try_divide(F.col(f"{p}_mase"), F.col(f"{bench_p}_mase"))
+                + F.try_divide(F.col(f"{p}_smape"), F.col(f"{bench_p}_smape"))
+            )
+            / 2,
+        )
+    return per_series

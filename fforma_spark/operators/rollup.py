@@ -135,6 +135,8 @@ def rollup_tier_sql(
     decimal(30,k) and cast to double, so vsum/vmean are bit-identical
     doubles before the 6dp display rounding.
     """
+    from fforma_spark.util import sql_round6
+
     if exact_decimals is None:
         s = "sum(val)"
     else:
@@ -145,10 +147,10 @@ def rollup_tier_sql(
                count(*) AS cnt,
                min(val) AS vmin,
                max(val) AS vmax,
-               round({s}, 6) AS vsum,
+               {sql_round6(s)} AS vsum,
                arg_min(val, pos) AS vfirst,
                arg_max(val, pos) AS vlast,
-               round({s} / count(*), 6) AS vmean
+               {sql_round6(f"{s} / count(*)")} AS vmean
         FROM ({panel_sql}) panel
         GROUP BY 1, 2
     """
