@@ -489,6 +489,38 @@ def minlen_filter_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seq.filter(F.col("n_tok") >= 24).select("doc_id", "n_tok")
 
 
+# ---------------------------------------------------------------------------
+# Compression tier (SURVEY §2.12; north_rule Gorilla/delta-of-delta)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "compress_roundtrip_documents",
+    f"""
+    SELECT doc_id, TRUE AS ok
+    FROM ({SEQUENCES_FROM_DOCUMENTS_SQL}) seqs
+    """,
+)
+def compress_roundtrip_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row invariant decompress(compress(tokens)) == tokens over
+    real text-derived sequences. The oracle is the identity truth
+    table — any codec defect flips ok to false and breaks the hash."""
+    from fforma_spark.functions.compress import roundtrip_check
+
+    seq = sequences_from_documents(spark, sf_dir)
+    return roundtrip_check(seq)
+
+
+@register("compression_stats_documents")  # rows-only: byte counts are codec-internal
+def compression_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fforma_spark.functions.compress import compressed_blocks
+
+    seq = sequences_from_documents(spark, sf_dir)
+    return compressed_blocks(seq).select(
+        "doc_id", "n_tok", "raw_bytes", "comp_bytes"
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver smoke entry: the full T1→T2 cascade + LOCF gap-fill."""
     panel = panel_from_events(spark, sf_dir)
