@@ -1,0 +1,199 @@
+#!/usr/bin/env python
+"""Benchmark harness for the fforma_spark engine.
+
+Default mode (what the driver runs): execute the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": ...,
+     "points_per_sec": ..., "comp_bytes_per_sec": ...}
+
+Scaling mode (north_rule evidence, no real cluster in the sandbox):
+``python bench.py --scaling`` re-runs the identical job in TWO fresh
+subprocesses at local[8] and local[32] on the same input and reports
+throughput at both plus scaling efficiency
+(= speedup / (32/8)); results land in BENCH_SCALING.json and stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def _sf_of(path: str) -> float:
+    base = os.path.basename(path.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def run_bench(master: str) -> dict:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from pyspark.sql import functions as F
+
+    from fforma_spark.functions.compress import compressed_blocks
+    from fforma_spark.functions.ensemble import softmin_weights, weighted_rollup
+    from fforma_spark.functions.features import features_wide
+    from fforma_spark.functions.metrics import evaluate_models
+    from fforma_spark.functions.models import base_forecasts, holdout_truth
+    from fforma_spark.operators.gapfill import locf_fill
+    from fforma_spark.operators.rollup import TierSpec, rollup_ladder
+    from fforma_spark.session import get_spark
+    from fforma_spark.sources.tables import (
+        panel_from_events,
+        sequences_from_documents,
+    )
+
+    spark = get_spark("fforma_spark_bench", master=master)
+    timings: dict[str, float] = {}
+    counters: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    # Warm the JVM + cache the inputs so per-query numbers measure the
+    # operators, not parquet scan duplication.
+    panel = panel_from_events(spark, SF_DIR).cache()
+    seq = sequences_from_documents(spark, SF_DIR).cache()
+    n_points = panel.count()
+    tok_stats = seq.agg(
+        F.sum("n_tok").alias("toks"), F.count("*").alias("docs")
+    ).collect()[0]
+    counters["panel_points"] = float(n_points)
+    counters["total_tokens"] = float(tok_stats["toks"])
+    counters["n_docs"] = float(tok_stats["docs"])
+
+    # q1: full retention cascade T1(16) -> T2(64) -> T3(256) over the
+    # events panel (counts force execution of every tier).
+    def q_cascade():
+        tiers = rollup_ladder(
+            panel,
+            (TierSpec("t1", 16), TierSpec("t2", 64), TierSpec("t3", 256)),
+        )
+        rows = 0
+        for df in tiers.values():
+            rows += df.count()
+        counters["rollup_rows"] = float(rows)
+
+    timed("rollup_cascade", q_cascade)
+
+    # q2: LOCF gap-fill over T1.
+    def q_locf():
+        from fforma_spark.operators.rollup import rollup_tier
+
+        t1 = rollup_tier(panel, 16)
+        counters["locf_rows"] = float(locf_fill(t1, ["vmean"]).count())
+
+    timed("locf_gapfill", q_locf)
+
+    # q3: T0 feature rollups (mapInPandas kernels) over sequences.
+    def q_features():
+        counters["feature_rows"] = float(features_wide(seq).count())
+
+    timed("features_t0", q_features)
+
+    # q4: compression tier — bytes processed drive comp_bytes_per_sec.
+    def q_compress():
+        agg = compressed_blocks(seq).agg(
+            F.sum("raw_bytes").alias("rb"), F.sum("comp_bytes").alias("cb")
+        ).collect()[0]
+        counters["raw_bytes"] = float(agg["rb"] or 0)
+        counters["comp_bytes"] = float(agg["cb"] or 0)
+
+    timed("compress_blocks", q_compress)
+
+    # q5: base models -> metrics -> softmin ensemble rollup (the
+    # fforma pipeline spine) over sequences.
+    def q_ensemble():
+        fc = base_forecasts(seq, default_h=8)
+        truth = holdout_truth(seq, default_h=8)
+        model_cols = ["naive_forec", "snaive_forec", "ses_forec"]
+        ev = evaluate_models(truth, fc.select("doc_id", "pos", *model_cols), model_cols)
+        loss_cols = [c.removesuffix("_forec") + "_smape" for c in model_cols]
+        w = softmin_weights(ev.select("doc_id", *loss_cols), loss_cols)
+        out = weighted_rollup(fc, w, model_cols, loss_cols)
+        counters["ensemble_rows"] = float(out.count())
+
+    timed("ensemble_rollup", q_ensemble)
+
+    spark.stop()
+
+    total = round(sum(timings.values()), 3)
+    rollup_pps = counters["panel_points"] / max(timings["rollup_cascade"], 1e-9)
+    comp_bps = counters["raw_bytes"] / max(timings["compress_blocks"], 1e-9)
+    return {
+        "metric": "rollup+compress headline wall time (sf events/documents)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_of(SF_DIR),
+        "master": master,
+        "points_per_sec": round(rollup_pps, 1),
+        "comp_bytes_per_sec": round(comp_bps, 1),
+        "counters": counters,
+    }
+
+
+def run_scaling() -> dict:
+    """Same job at local[8] and local[32]; efficiency = speedup / 4."""
+    results = {}
+    for n in (8, 32):
+        env = dict(os.environ, SPARK_GRAFT_BENCH_MASTER=f"local[{n}]")
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        )
+        results[n] = json.loads(out.stdout.strip().splitlines()[-1])
+    t8, t32 = results[8]["value"], results[32]["value"]
+    speedup = t8 / t32
+    eff = speedup / (32 / 8)
+    report = {
+        "local8_sec": t8,
+        "local32_sec": t32,
+        "local8_points_per_sec": results[8]["points_per_sec"],
+        "local32_points_per_sec": results[32]["points_per_sec"],
+        "local8_comp_bytes_per_sec": results[8]["comp_bytes_per_sec"],
+        "local32_comp_bytes_per_sec": results[32]["comp_bytes_per_sec"],
+        "speedup_8_to_32": round(speedup, 3),
+        "scaling_efficiency": round(eff, 3),
+        "per_query": {
+            q: {
+                "local8": results[8]["queries"][q],
+                "local32": results[32]["queries"][q],
+                "speedup": round(
+                    results[8]["queries"][q] / max(results[32]["queries"][q], 1e-9), 3
+                ),
+            }
+            for q in results[8]["queries"]
+        },
+        "sf": results[32]["sf"],
+    }
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_SCALING.json"), "w") as f:
+        json.dump(report, f, indent=2)
+    return report
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        rep = run_scaling()
+        print(json.dumps(rep))
+    else:
+        master = os.environ.get("SPARK_GRAFT_BENCH_MASTER", f"local[{CPUS}]")
+        print(json.dumps(run_bench(master)))
