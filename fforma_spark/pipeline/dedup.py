@@ -1,0 +1,330 @@
+"""Deduplication operators over the documents / embeddings tables:
+exact (hash-groupBy), MinHash+LSH banding, n-gram Jaccard verify,
+SimHash, and embedding-cosine near-dup.
+
+Scale design notes (the part that matters at 100 TB):
+
+* exact dedup — one shuffle on the content hash; map-side partial agg
+  makes the shuffle carry one row per distinct hash per partition.
+* MinHash+LSH — signatures are a scan→project (no shuffle); banding
+  explodes to B rows/doc and self-joins on (band, key): the join input
+  is B·N tiny rows, and candidate verification touches only colliding
+  pairs — the O(N²) pairwise Jaccard never materializes. This is the
+  standard shingle→minhash→band→bucket-join pipeline.
+* SimHash — scan→project signature, then equality self-join.
+* embedding cosine — brute-force O(N²) pair scan is the CORRECTNESS
+  baseline only; the scale path is the hyperplane-LSH bucketing in
+  fforma_spark.pipeline.similarity (join within buckets).
+
+Every operator here is Catalyst-only (higher-order array functions, no
+Python UDFs) and each has a DuckDB oracle twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from fforma_spark.pipeline.common import MOD, h64, h64_sql, words_col, words_sql
+
+# MinHash: P permutations (a*h + b) % MOD; banding is r=1, b=P (high
+# recall — precision comes from the Jaccard verify stage).
+MH_A = [131, 137, 139, 149, 151, 157, 163, 167]
+MH_B = [7, 11, 13, 17, 19, 23, 29, 31]
+P = len(MH_A)
+SHINGLE_K = 3
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Group identical texts by md5; keeper = lowest doc_id."""
+    return (
+        docs.select(
+            F.md5(F.encode("text", "UTF-8")).alias("content_hash"),
+            F.col("doc_id").cast("long").alias("doc_id"),
+        )
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("keeper"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+EXACT_DEDUP_SQL = """
+    SELECT md5(text) AS content_hash,
+           min(doc_id) AS keeper,
+           count(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+"""
+
+
+# ---------------------------------------------------------------------------
+# shingles + MinHash signatures
+# ---------------------------------------------------------------------------
+
+
+def _shingle_hashes(text: Column) -> Column:
+    """Distinct hashes (mod MOD) of word 3-gram shingles; whole text
+    as the single shingle when shorter than K words."""
+    w = F.split(text, " ")
+    n = F.size(w)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - (SHINGLE_K - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(w, i + j) for j in range(SHINGLE_K)]
+        ),
+    )
+    sh = F.when(n >= SHINGLE_K, grams).otherwise(F.array(text))
+    return F.array_distinct(F.transform(sh, lambda s: h64(s) % MOD))
+
+
+def _shingle_hashes_sql(text: str = "text") -> str:
+    w = words_sql(text)
+    grams = (
+        f"list_transform(generate_series(1, len({w}) - {SHINGLE_K - 1}), "
+        f"i -> concat_ws(' ', {w}[i], {w}[i+1], {w}[i+2]))"
+    )
+    sh = f"CASE WHEN len({w}) >= {SHINGLE_K} THEN {grams} ELSE [{text}] END"
+    return f"list_distinct(list_transform({sh}, s -> {h64_sql('s')} % {MOD}))"
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingles, mh_0..mh_{P-1}) — one scan, no shuffle."""
+    sh = _shingle_hashes(F.col("text"))
+    out = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"), sh.alias("shingles")
+    )
+    def _perm(a: int, b: int):
+        return lambda h: (F.lit(a) * h + F.lit(b)) % MOD
+
+    for i, (a, b) in enumerate(zip(MH_A, MH_B)):
+        out = out.withColumn(
+            f"mh_{i}", F.array_min(F.transform("shingles", _perm(a, b)))
+        )
+    return out
+
+
+def minhash_signatures_sql() -> str:
+    sh = _shingle_hashes_sql()
+    mh = ",\n               ".join(
+        f"list_min(list_transform(shingles, h -> ({a} * h + {b}) % {MOD})) AS mh_{i}"
+        for i, (a, b) in enumerate(zip(MH_A, MH_B))
+    )
+    return f"""
+        SELECT doc_id, shingles, {mh}
+        FROM (
+            SELECT doc_id, {sh} AS shingles
+            FROM documents
+        ) s
+    """
+
+
+# ---------------------------------------------------------------------------
+# LSH banding → candidate pairs → Jaccard verify
+# ---------------------------------------------------------------------------
+
+
+def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
+    """Distinct (doc_a < doc_b) pairs sharing any minhash band."""
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("band"), F.col(f"mh_{i}").alias("key"))
+                    for i in range(P)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def minhash_neardup(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Full pipeline: signatures → LSH candidates → exact Jaccard on
+    the shingle sets → is_dup flag."""
+    sigs = minhash_signatures(docs)
+    pairs = lsh_candidate_pairs(sigs)
+    sh = sigs.select("doc_id", "shingles")
+    joined = (
+        pairs.join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .withColumnRenamed("shingles", "sh_a")
+        .join(sh.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+        .withColumnRenamed("shingles", "sh_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+    jac = inter / union
+    return joined.select(
+        "doc_a",
+        "doc_b",
+        jac.alias("jaccard"),
+        (jac >= threshold).alias("is_dup"),
+    )
+
+
+def minhash_neardup_sql(threshold: float = 0.5) -> str:
+    return f"""
+        WITH sigs AS ({minhash_signatures_sql()}),
+        bands AS (
+            {" UNION ALL ".join(
+                f"SELECT doc_id, {i} AS band, mh_{i} AS key FROM sigs"
+                for i in range(P)
+            )}
+        ),
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        )
+        SELECT p.doc_a, p.doc_b,
+               CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+               / (len(sa.shingles) + len(sb.shingles)
+                  - len(list_intersect(sa.shingles, sb.shingles))) AS jaccard,
+               CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+               / (len(sa.shingles) + len(sb.shingles)
+                  - len(list_intersect(sa.shingles, sb.shingles))) >= {threshold}
+                   AS is_dup
+        FROM pairs p
+        JOIN sigs sa ON sa.doc_id = p.doc_a
+        JOIN sigs sb ON sb.doc_id = p.doc_b
+    """
+
+
+# ---------------------------------------------------------------------------
+# SimHash (16-bit, frequency-weighted over word hashes)
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 16
+
+
+def simhash(docs: DataFrame) -> DataFrame:
+    wh = F.transform(words_col(), lambda w: h64(w))
+    n = F.size(wh)
+    sig = F.lit(0).cast("long")
+
+    def _bit_test(mask: int):
+        return lambda h: h.bitwiseAND(F.lit(mask)) != 0
+
+    for b in range(SIMHASH_BITS):
+        mask = 1 << b
+        cnt = F.size(F.filter(wh, _bit_test(mask)))
+        sig = sig + F.when(cnt * 2 >= n, F.lit(mask)).otherwise(F.lit(0))
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"), sig.alias("simhash")
+    )
+
+
+def simhash_sql() -> str:
+    wh = f"list_transform({words_sql()}, w -> {h64_sql('w')})"
+    terms = " + ".join(
+        f"CASE WHEN len(list_filter(wh, h -> (h & {1 << b}) <> 0)) * 2 "
+        f">= len(wh) THEN {1 << b} ELSE 0 END"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"""
+        SELECT doc_id, CAST({terms} AS BIGINT) AS simhash
+        FROM (SELECT doc_id, {wh} AS wh FROM documents) s
+    """
+
+
+def simhash_collisions(docs: DataFrame) -> DataFrame:
+    """Pairs with identical simhash — near-dup candidates at Hamming
+    distance 0 (banding over bit-chunks generalizes to distance > 0)."""
+    s = simhash(docs)
+    a, b = s.alias("a"), s.alias("b")
+    return a.join(
+        b,
+        (F.col("a.simhash") == F.col("b.simhash"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.simhash").alias("simhash"),
+    )
+
+
+def simhash_collisions_sql() -> str:
+    return f"""
+        WITH s AS ({simhash_sql()})
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.simhash AS simhash
+        FROM s a JOIN s b ON a.simhash = b.simhash AND a.doc_id < b.doc_id
+    """
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup (brute-force correctness baseline)
+# ---------------------------------------------------------------------------
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Left-fold dot product — identical FP reduction order to the
+    DuckDB twin (list_reduce over the zipped products)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _dot_sql(a: str, b: str) -> str:
+    prods = (
+        f"list_transform(generate_series(1, len({a})), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))"
+    )
+    return f"list_reduce(list_prepend(0.0, {prods}), (x, y) -> x + y)"
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / F.sqrt(_dot(a, a) * _dot(b, b))
+
+
+def cosine_sql(a: str, b: str) -> str:
+    return f"({_dot_sql(a, b)} / sqrt({_dot_sql(a, a)} * {_dot_sql(b, b)}))"
+
+
+def embedding_neardup(emb: DataFrame, threshold: float) -> DataFrame:
+    """All (a < b) pairs with cosine >= threshold — O(N²) baseline;
+    see similarity.ann_lsh_topk for the bucketed scale path."""
+    e = emb.select(
+        F.col("vec_id").cast("long").alias("vec_id"), F.col("embedding")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    cos = cosine(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def embedding_neardup_sql(threshold: float) -> str:
+    cos = cosine_sql("a.embedding", "b.embedding")
+    return f"""
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               {cos} AS cos_sim
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE {cos} >= {threshold}
+    """

@@ -1,0 +1,157 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata,
+with decode / feature-extract / frame-sample stages.
+
+The container has no image/audio codecs, so the actual DECODE step is
+STUBBED (clearly marked below): ``decode_image``/``decode_audio`` raise
+NotImplementedError unless PIL/soundfile happen to be importable. What
+IS real — and tested — is the Spark-side plumbing a 100 TB multimodal
+pipeline needs: binary column schema, Arrow batch shape through
+mapInPandas, deterministic byte-level feature extraction, and
+fixed-stride frame sampling on the raw payload. Swapping the stub for a
+real codec changes one numpy function, not the plan.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+
+FRAME_SIZE = 256  # bytes per "frame" for the sampling stage
+
+
+def payload_table(docs: DataFrame) -> DataFrame:
+    """documents → multimodal layout: (doc_id, payload binary,
+    meta struct<modality,n_bytes,source>). The payload is the UTF-8
+    encoding of the text — a deterministic stand-in for an image/audio
+    blob with identical Spark-side mechanics."""
+    payload = F.encode("text", "UTF-8")
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        payload.alias("payload"),
+        F.struct(
+            F.lit("blob").alias("modality"),
+            F.length(payload).alias("n_bytes"),
+            F.col("source").alias("source"),
+        ).alias("meta"),
+    )
+
+
+def frame_index(docs: DataFrame, frame_size: int = FRAME_SIZE) -> DataFrame:
+    """Fixed-stride frame sampling: one row per frame with byte
+    offsets — pure Catalyst (sequence + explode), no UDF. This is the
+    video-frame-sample access pattern over an opaque payload."""
+    t = payload_table(docs)
+    n_frames = F.ceil(F.col("meta.n_bytes") / F.lit(frame_size)).cast("long")
+    return (
+        t.withColumn("n_frames", n_frames)
+        .select(
+            "doc_id",
+            "n_frames",
+            F.explode(
+                F.sequence(F.lit(0), F.col("n_frames") - 1)
+            ).alias("frame_id"),
+        )
+        .select(
+            "doc_id",
+            "frame_id",
+            (F.col("frame_id") * frame_size).alias("byte_off"),
+            "n_frames",
+        )
+    )
+
+
+FRAME_INDEX_SQL = f"""
+    SELECT doc_id, frame_id, frame_id * {FRAME_SIZE} AS byte_off, n_frames
+    FROM (
+        SELECT doc_id,
+               CAST(ceil(octet_length(encode(text)) / {FRAME_SIZE}.0) AS BIGINT)
+                   AS n_frames
+        FROM documents
+    ) t, LATERAL UNNEST(generate_series(0, n_frames - 1)) AS g(frame_id)
+"""
+
+
+# --- decode stubs ----------------------------------------------------------
+# STUB: real codecs are not installed in this container. The engine's
+# contract is the function signature (bytes -> ndarray); production
+# swaps the body.
+
+try:  # pragma: no cover
+    from PIL import Image  # noqa: F401
+
+    _HAS_PIL = True
+except Exception:  # noqa: BLE001
+    _HAS_PIL = False
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """STUB — decode an image payload to an HxWxC uint8 array."""
+    if not _HAS_PIL:
+        raise NotImplementedError(
+            "image codec not available in this container; "
+            "deterministic byte features are used instead (extract_features)"
+        )
+    raise NotImplementedError("real decode wired only when PIL is present")
+
+
+def byte_features(payload: bytes) -> dict[str, float]:
+    """Deterministic byte-level feature extraction (the REAL stage that
+    stands in for decode→featurize): length, mean/std byte value,
+    entropy of the byte histogram, fraction of ASCII printables."""
+    b = np.frombuffer(payload, dtype=np.uint8)
+    if b.size == 0:
+        return {
+            "n_bytes": 0.0,
+            "byte_mean": 0.0,
+            "byte_std": 0.0,
+            "byte_entropy": 0.0,
+            "printable_ratio": 0.0,
+        }
+    hist = np.bincount(b, minlength=256).astype(np.float64)
+    p = hist[hist > 0] / b.size
+    return {
+        "n_bytes": float(b.size),
+        "byte_mean": float(b.mean()),
+        "byte_std": float(b.std()),
+        "byte_entropy": float(-(p * np.log2(p)).sum()),
+        "printable_ratio": float(((b >= 32) & (b < 127)).mean()),
+    }
+
+
+FEATURES_SCHEMA = (
+    "doc_id long, n_bytes double, byte_mean double, byte_std double, "
+    "byte_entropy double, printable_ratio double"
+)
+
+
+def _feature_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    cols = [
+        "doc_id",
+        "n_bytes",
+        "byte_mean",
+        "byte_std",
+        "byte_entropy",
+        "printable_ratio",
+    ]
+    for pdf in it:
+        recs = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            fv = byte_features(bytes(payload))
+            fv["doc_id"] = doc_id
+            recs.append(fv)
+        yield pd.DataFrame(recs, columns=cols) if recs else pd.DataFrame(
+            columns=cols
+        )
+
+
+def extract_features(docs: DataFrame) -> DataFrame:
+    """mapInPandas over the binary column — Arrow-batched, one numpy
+    pass per payload, embarrassingly parallel (no shuffle)."""
+    t = payload_table(docs)
+    return t.select("doc_id", "payload").mapInPandas(
+        _feature_batches, FEATURES_SCHEMA
+    )

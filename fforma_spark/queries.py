@@ -521,6 +521,64 @@ def compression_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Kernel-backed rollups (SURVEY §2.6/§2.9/§2.10) — rows-only via the
+# driver (values are pytest-verified bit-for-bit against the numpy
+# oracle in tests/test_features.py / test_models_metrics.py; the
+# sequential kernels are not ANSI-SQL-expressible)
+# ---------------------------------------------------------------------------
+
+
+@register("features_t0_documents")  # rows-only: mapInPandas kernels
+def features_t0_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full tsfeatures-style T0 feature rollup (entropy, trend &
+    seasonal strength, lumpiness, stability, hurst, acf10, ...) — ONE
+    shuffle-free mapInPandas pass over the wide sequences table."""
+    from fforma_spark.functions.features import features_wide
+
+    return features_wide(sequences_from_documents(spark, sf_dir))
+
+
+@register("base_forecasts_documents")  # rows-only: sequential kernels
+def base_forecasts_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All 13 base-model forecasts per doc (naive..imapa incl. the
+    Naive2 OWA benchmark) in one mapInPandas pass."""
+    from fforma_spark.functions.models import base_forecasts
+
+    return base_forecasts(sequences_from_documents(spark, sf_dir), default_h=8)
+
+
+@register("owa_eval_documents")  # rows-only: depends on Naive2 kernel
+def owa_eval_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series smape/mase/OWA vs the Naive2 benchmark for every
+    model — the meta-learner's contribution-to-error input."""
+    from fforma_spark.functions.metrics import evaluate_with_owa, mase_scale
+    from fforma_spark.functions.models import (
+        FORECAST_COLS,
+        base_forecasts,
+        holdout_truth,
+        train_split,
+    )
+
+    seq = sequences_from_documents(spark, sf_dir)
+    fc = base_forecasts(seq, default_h=8)
+    truth = holdout_truth(seq, default_h=8)
+    train_panel = explode_panel(train_split(seq, default_h=8)).select(
+        "doc_id", "pos", "val"
+    )
+    scale = mase_scale(train_panel, F.lit(1))
+    out = evaluate_with_owa(truth, fc, FORECAST_COLS, scale)
+    return out.select(
+        "doc_id",
+        *[stable_round6(c).alias(c) for c in out.columns if c != "doc_id"],
+    )
+
+
+# Training-data pipeline registrations (dedup / similarity / text /
+# multimodal) — imported for side effects.
+import fforma_spark.pipeline.queries  # noqa: E402,F401
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver smoke entry: the full T1→T2 cascade + LOCF gap-fill."""
     panel = panel_from_events(spark, sf_dir)
