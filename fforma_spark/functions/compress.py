@@ -240,6 +240,9 @@ def decompress_floats_udf():
 
 def compressed_blocks(seq_df: DataFrame) -> DataFrame:
     """Per-doc compressed block + stats (the CB tier of SURVEY §7.0)."""
+    from fforma_spark.util import ensure_parallelism
+
+    seq_df = ensure_parallelism(seq_df)
     return (
         seq_df.select(
             "doc_id",
@@ -254,6 +257,9 @@ def compressed_blocks(seq_df: DataFrame) -> DataFrame:
 def roundtrip_check(seq_df: DataFrame) -> DataFrame:
     """decompress(compress(tokens)) == tokens, per doc — the BASELINE
     per-row invariant, evaluated distributed."""
+    from fforma_spark.util import ensure_parallelism
+
+    seq_df = ensure_parallelism(seq_df)
     cb = seq_df.select(
         "doc_id",
         "tokens",

@@ -49,9 +49,14 @@ def _feature_batches(
 
 
 def features_wide(seq_df: DataFrame, default_seasonality: int = 1) -> DataFrame:
-    """All T0 features from the wide sequences table — shuffle-free."""
+    """All T0 features from the wide sequences table — shuffle-free
+    (the repartition only fires when the scan yielded fewer splits
+    than cores; no-op on real multi-file inputs)."""
+    from fforma_spark.util import ensure_parallelism
+
     gen = lambda it: _feature_batches(it, default_seasonality)  # noqa: E731
-    return seq_df.select("doc_id", "tokens").mapInPandas(gen, FEATURES_SCHEMA)
+    src = ensure_parallelism(seq_df.select("doc_id", "tokens"))
+    return src.mapInPandas(gen, FEATURES_SCHEMA)
 
 
 def features_sql(panel: DataFrame) -> DataFrame:

@@ -123,9 +123,12 @@ def base_forecasts(
     default_h: int = 8,
 ) -> DataFrame:
     """Prediction panel for every model over every (long-enough) doc."""
+    from fforma_spark.util import ensure_parallelism
+
     hmap = HORIZON_BY_PREFIX if h_by_prefix is None else h_by_prefix
     gen = lambda it: _forecast_batches(it, hmap, default_h)  # noqa: E731
-    return seq_df.select("doc_id", "tokens").mapInPandas(gen, FORECASTS_SCHEMA)
+    src = ensure_parallelism(seq_df.select("doc_id", "tokens"))
+    return src.mapInPandas(gen, FORECASTS_SCHEMA)
 
 
 def holdout_truth(seq_df: DataFrame, h_by_prefix: dict[str, int] | None = None,

@@ -151,7 +151,8 @@ def _feature_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 def extract_features(docs: DataFrame) -> DataFrame:
     """mapInPandas over the binary column — Arrow-batched, one numpy
     pass per payload, embarrassingly parallel (no shuffle)."""
+    from fforma_spark.util import ensure_parallelism
+
     t = payload_table(docs)
-    return t.select("doc_id", "payload").mapInPandas(
-        _feature_batches, FEATURES_SCHEMA
-    )
+    src = ensure_parallelism(t.select("doc_id", "payload"))
+    return src.mapInPandas(_feature_batches, FEATURES_SCHEMA)

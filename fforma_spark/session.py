@@ -41,7 +41,7 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         # numpy kernels inside pandas UDFs must not oversubscribe BLAS
         # (reference pins BLAS to 1 thread: fforma/utils/utils.py:28-32)
@@ -54,3 +54,25 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def warm_python_workers(spark: SparkSession) -> None:
+    """Launch the pyspark worker daemon while the JVM heap is still
+    small.
+
+    In local mode the daemon is forked from the (single) JVM at the
+    FIRST Python stage; once the driver heap has grown (e.g. after a
+    cached cascade) that fork costs tens of seconds of page-table
+    copying. Spawning the daemon up front makes every later pandas-UDF
+    stage fork from the small resident daemon instead. No-op cost
+    ~3-6s once per process; saves ~10x that on the first kernel stage.
+    """
+    import pandas as pd  # noqa: F401
+
+    n = spark.sparkContext.defaultParallelism
+
+    def _noop(it):
+        for pdf in it:
+            yield pdf
+
+    spark.range(0, n, 1, n).mapInPandas(_noop, "id long").count()

@@ -24,3 +24,20 @@ def stable_round6(col: Column | str) -> Column:
 def sql_round6(expr: str) -> str:
     """DuckDB twin of stable_round6."""
     return f"(floor(({expr}) * 1000000.0 + 0.5) / 1000000.0)"
+
+
+def ensure_parallelism(df, min_parts: int | None = None):
+    """Repartition up when the scan produced too few splits.
+
+    Pandas-UDF stages are embarrassingly parallel over rows, but a
+    small parquet file arrives as ONE split and would pin the whole
+    kernel stage to one core. At production scale inputs have
+    thousands of splits and this is a no-op (cond false, no shuffle).
+    """
+    from pyspark.sql import DataFrame
+
+    assert isinstance(df, DataFrame)
+    target = min_parts or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
