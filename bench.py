@@ -155,44 +155,105 @@ def run_bench(master: str) -> dict:
 
 
 def run_scaling() -> dict:
-    """Same job at local[8] and local[32]; efficiency = speedup / 4."""
-    results = {}
-    for n in (8, 32):
-        env = dict(os.environ, SPARK_GRAFT_BENCH_MASTER=f"local[{n}]")
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env,
-            capture_output=True,
-            text=True,
-            check=True,
+    """North-rule scaling evidence: the SAME production job
+    (jobs/build_tiers.py via spark-submit --py-files, tier cascade +
+    compression + feature kernels) on the SAME deterministic input at
+    N=8 and 4N=32 cores. Efficiency = speedup / 4.
+
+    Input size (SPARK_GRAFT_SCALE_DOCS, default 30000 docs ≈ 8M
+    points) is chosen so compute dominates fixed job overhead — the
+    sandbox stand-in for the two-cluster-size criterion.
+    """
+    import shutil
+    import zipfile
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    n_docs = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "400000"))
+    zpath = "/tmp/fforma_spark_scaling.zip"
+    with zipfile.ZipFile(zpath, "w") as z:
+        for root, _dirs, files in os.walk(os.path.join(repo, "fforma_spark")):
+            for fn in files:
+                if fn.endswith(".py"):
+                    full = os.path.join(root, fn)
+                    z.write(full, os.path.relpath(full, repo))
+    import pyspark
+
+    submit = os.path.join(os.path.dirname(pyspark.__file__), "bin", "spark-submit")
+
+    # Prep (untimed): materialize the input sequences table ONCE —
+    # both parallelism levels then run the identical job over the
+    # identical stored table (the north-rule input is a stored
+    # Iceberg/parquet table, not an on-the-fly generator).
+    input_dir = f"/tmp/scaling_input_{n_docs}"
+    if not os.path.exists(os.path.join(input_dir, "_SUCCESS")):
+        shutil.rmtree(input_dir, ignore_errors=True)
+        prep = (
+            "import sys; sys.path.insert(0, %r)\n"
+            "from fforma_spark.session import get_spark, warm_python_workers\n"
+            "from fforma_spark.sources.synth import synth_sequences\n"
+            "spark = get_spark('scaling_prep')\n"
+            "warm_python_workers(spark)\n"
+            "synth_sequences(spark, %d, 42, partitions=64).write.mode('overwrite').parquet(%r)\n"
+            "spark.stop()\n" % (repo, n_docs, input_dir)
         )
-        results[n] = json.loads(out.stdout.strip().splitlines()[-1])
+        subprocess.run([sys.executable, "-c", prep], check=True,
+                       capture_output=True)
+
+    results = {}
+    n_trials = int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "3"))
+    # interleave 8,32,8,32,... so slow VM phases hit both configs
+    # equally; keep the best leg per config
+    for _trial in range(n_trials):
+        for n in (8, 32):
+            out_dir = f"/tmp/scaling_tiers_{n}"
+            shutil.rmtree(out_dir, ignore_errors=True)
+            proc = subprocess.run(
+                [
+                    submit,
+                    "--master",
+                    f"local[{n}]",
+                    "--conf", "spark.sql.shuffle.partitions=%d" % n,
+                    "--conf", "spark.sql.adaptive.enabled=true",
+                    "--conf", "spark.driver.memory=16g",
+                    "--conf", "spark.ui.enabled=false",
+                    # see fforma_spark.session: mmap_lock mitigation
+                    "--conf",
+                    "spark.driver.extraJavaOptions=-Xms16g -XX:+AlwaysPreTouch -XX:+UseParallelGC",
+                    "--conf", "spark.storage.memoryMapThreshold=2g",
+                    "--py-files",
+                    zpath,
+                    os.path.join(repo, "jobs", "build_tiers.py"),
+                    "--input",
+                    input_dir,
+                    "--output",
+                    out_dir,
+                    "--compress",
+                    "--features",
+                ],
+                capture_output=True,
+                text=True,
+                check=True,
+            )
+            r = json.loads(proc.stdout.strip().splitlines()[-1])
+            if n not in results or r["value"] < results[n]["value"]:
+                results[n] = r
     t8, t32 = results[8]["value"], results[32]["value"]
     speedup = t8 / t32
     eff = speedup / (32 / 8)
     report = {
+        "job": "jobs/build_tiers.py --input <stored %d-doc sequences parquet> "
+               "--compress --features" % n_docs,
         "local8_sec": t8,
         "local32_sec": t32,
         "local8_points_per_sec": results[8]["points_per_sec"],
         "local32_points_per_sec": results[32]["points_per_sec"],
-        "local8_comp_bytes_per_sec": results[8]["comp_bytes_per_sec"],
-        "local32_comp_bytes_per_sec": results[32]["comp_bytes_per_sec"],
+        "local8_comp_bytes_per_sec": results[8]["compress"]["bytes_per_sec"],
+        "local32_comp_bytes_per_sec": results[32]["compress"]["bytes_per_sec"],
         "speedup_8_to_32": round(speedup, 3),
         "scaling_efficiency": round(eff, 3),
-        "per_query": {
-            q: {
-                "local8": results[8]["queries"][q],
-                "local32": results[32]["queries"][q],
-                "speedup": round(
-                    results[8]["queries"][q] / max(results[32]["queries"][q], 1e-9), 3
-                ),
-            }
-            for q in results[8]["queries"]
-        },
-        "sf": results[32]["sf"],
+        "detail": {str(k): v for k, v in results.items()},
     }
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCH_SCALING.json"), "w") as f:
+    with open(os.path.join(repo, "BENCH_SCALING.json"), "w") as f:
         json.dump(report, f, indent=2)
     return report
 

@@ -48,14 +48,21 @@ def detrend_coeffs(x: np.ndarray) -> tuple[float, float]:
 
 def acf(x: np.ndarray, k: int) -> float:
     """Autocorrelation at lag k: mean-centered, biased (full-sum)
-    denominator — fforma/base/_models.py:136-152."""
+    denominator — fforma/base/_models.py:136-152.
+
+    Summation is LEFT-TO-RIGHT (cumsum), matching the reference's
+    scalar accumulation loop bit-for-bit; numpy's pairwise .sum()
+    differs in the last ulp."""
     x = np.asarray(x, dtype=np.float64)
     m = x.mean()
     d = x - m
-    s2 = float((d * d).sum())
-    if k >= len(x) or s2 == 0.0:
-        return float("nan") if s2 == 0.0 else 0.0
-    s1 = float((d[k:] * d[:-k]).sum())
+    sq = d * d
+    s2 = float(np.cumsum(sq)[-1]) if len(sq) else 0.0
+    if s2 == 0.0:
+        return float("nan")
+    if k >= len(x):
+        return 0.0
+    s1 = float(np.cumsum(d[k:] * d[:-k])[-1])
     return s1 / s2
 
 

@@ -24,6 +24,7 @@ from fforma_spark.operators.rollup import (
 from fforma_spark.sources.tables import (
     PANEL_FROM_EVENTS_SQL,
     SEQUENCES_FROM_DOCUMENTS_SQL,
+    load_table,
     panel_from_events,
     sequences_from_documents,
 )
@@ -522,6 +523,241 @@ def compression_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Windowed per-series analytics (SURVEY §2.5) — Catalyst windows with
+# DuckDB twins
+# ---------------------------------------------------------------------------
+
+from pyspark.sql import Window as W  # noqa: E402
+
+
+from fforma_spark.util import sql_round, stable_round  # noqa: E402
+
+
+@register(
+    "rolling_mean_events",
+    f"""
+    SELECT doc_id, pos,
+           {sql_round("avg(val) OVER (PARTITION BY doc_id ORDER BY pos "
+                      "ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)", 4)} AS cma
+    FROM ({PANEL_FROM_EVENTS_SQL}) panel
+    """,
+)
+def rolling_mean_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centered rolling mean (classical-decomposition MA,
+    fforma/base/_models.py:91-116) as a frame window. 4dp display
+    rounding: window-frame float order differs across engines."""
+    panel = panel_from_events(spark, sf_dir)
+    w = W.partitionBy("doc_id").orderBy("pos").rowsBetween(-2, 2)
+    return panel.select(
+        "doc_id", "pos", stable_round(F.avg("val").over(w), 4).alias("cma")
+    )
+
+
+@register(
+    "cumsum_events",
+    f"""
+    SELECT doc_id, pos,
+           {sql_round("sum(val) OVER (PARTITION BY doc_id ORDER BY pos "
+                      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)", 4)} AS cum
+    FROM ({PANEL_FROM_EVENTS_SQL}) panel
+    """,
+)
+def cumsum_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running cumulative sum (undifferencing,
+    fforma/base/_quantile_models.py:221-223). 4dp display rounding —
+    see rolling_mean_events."""
+    panel = panel_from_events(spark, sf_dir)
+    w = (
+        W.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return panel.select(
+        "doc_id", "pos", stable_round(F.sum("val").over(w), 4).alias("cum")
+    )
+
+
+@register(
+    "lag_delta_events",
+    f"""
+    SELECT doc_id, pos,
+           {sql_round6("val - lag(val) OVER (PARTITION BY doc_id ORDER BY pos)")}
+               AS delta
+    FROM ({PANEL_FROM_EVENTS_SQL}) panel
+    """,
+)
+def lag_delta_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First difference via lag (rolling-origin shift analog,
+    fforma/experiments/business/ensemble_forecasts.py:67)."""
+    panel = panel_from_events(spark, sf_dir)
+    w = W.partitionBy("doc_id").orderBy("pos")
+    return panel.select(
+        "doc_id",
+        "pos",
+        stable_round6(F.col("val") - F.lag("val").over(w)).alias("delta"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Closed-form ensembles + win counts (SURVEY §2.9) — SQL-expressible
+# ---------------------------------------------------------------------------
+
+_FC4 = ["naive_forec", "snaive_forec", "rwd_forec", "avg_forec"]
+
+
+@register(
+    "mean_median_ensemble_events",
+    f"""
+    SELECT doc_id, pos,
+           {sql_round6("(naive_forec + snaive_forec + rwd_forec + avg_forec) / 4")}
+               AS y_mean,
+           {sql_round6(
+               "(naive_forec + snaive_forec + rwd_forec + avg_forec"
+               " - least(naive_forec, snaive_forec, rwd_forec, avg_forec)"
+               " - greatest(naive_forec, snaive_forec, rwd_forec, avg_forec)) / 2"
+           )} AS y_median
+    FROM ({_SQL_FC}) fc
+    """,
+)
+def mean_median_ensemble_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-mean and row-median ensembles
+    (fforma/meta_learner/_basics.py:12-64). The 4-column median is
+    (sum - min - max)/2 — identical arithmetic on both engines."""
+    fc = _forecasts_events_spark(spark, sf_dir)
+    s = sum((F.col(c) for c in _FC4), F.lit(0.0))
+    return fc.select(
+        "doc_id",
+        "pos",
+        stable_round6(s / 4).alias("y_mean"),
+        stable_round6(
+            (s - F.least(*[F.col(c) for c in _FC4]) - F.greatest(*[F.col(c) for c in _FC4])) / 2
+        ).alias("y_median"),
+    )
+
+
+@register(
+    "bestmodel_wins_events",
+    f"""
+    SELECT best_model, count(*) AS wins FROM (
+        SELECT CASE WHEN naive_smape <= snaive_smape THEN 'naive'
+                    ELSE 'snaive' END AS best_model
+        FROM ({_SQL_EVAL}) ev
+    ) b GROUP BY best_model
+    """,
+)
+def bestmodel_wins_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series argmin-loss winner histogram — the loser-pruning
+    input (fforma/fforma_python_futuro.py:193-195,
+    fforma/meta_learner/_XGBoost.py:106-108)."""
+    ev = _eval_events_spark(spark, sf_dir)
+    return (
+        ev.select(
+            F.when(
+                F.col("naive_smape") <= F.col("snaive_smape"), F.lit("naive")
+            )
+            .otherwise(F.lit("snaive"))
+            .alias("best_model")
+        )
+        .groupBy("best_model")
+        .agg(F.count("*").alias("wins"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Group-weighted summaries, rollup op, semi-join, broadcast dim join
+# (SURVEY §2.4/§2.7/§2.3/§2.10)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rollup_summary_documents",
+    """
+    SELECT coalesce(source, 'ALL') AS source,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY ROLLUP(source)
+    """,
+)
+def rollup_summary_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group + grand-total summary via the ROLLUP grouping-set op
+    (group-weighted summary analog, fforma/experiments/summary/
+    base.py:16-40)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.rollup("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .select(
+            F.coalesce("source", F.lit("ALL")).alias("source"),
+            "n_docs",
+            "total_chars",
+        )
+    )
+
+
+@register(
+    "semi_join_docs_embeddings",
+    """
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, n_chars
+    FROM documents
+    WHERE doc_id IN (SELECT vec_id FROM embeddings WHERE label = 0)
+    """,
+)
+def semi_join_docs_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join filter by id set (query('unique_id in @ids'),
+    fforma/experiments/base/common.py:40-44) — left_semi, no payload
+    duplication."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    ids = emb.filter(F.col("label") == 0).select(
+        F.col("vec_id").alias("doc_id")
+    )
+    return (
+        docs.join(ids, "doc_id", "left_semi")
+        .select(F.col("doc_id").cast("long").alias("doc_id"), "n_chars")
+    )
+
+
+@register(
+    "events_nation_totals",
+    """
+    SELECT n.n_name AS nation,
+           count(*) AS n_events,
+           floor((CAST(sum(CAST(e.value AS DECIMAL(30,6))) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS total_value
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def events_nation_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Panel ⋈ metadata broadcast join (fforma/utils/m4_data.py:120):
+    fact events joined to broadcast customer/nation dims, exact
+    decimal totals."""
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    return (
+        ev.join(F.broadcast(cust), ev["user_id"] == cust["c_custkey"])
+        .join(F.broadcast(nat), cust["c_nationkey"] == nat["n_nationkey"])
+        .groupBy("nation")
+        .agg(
+            F.count("*").alias("n_events"),
+            stable_round6(
+                F.sum(F.col("value").cast("decimal(30,6)")).cast("double")
+            ).alias("total_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Kernel-backed rollups (SURVEY §2.6/§2.9/§2.10) — rows-only via the
 # driver (values are pytest-verified bit-for-bit against the numpy
 # oracle in tests/test_features.py / test_models_metrics.py; the
@@ -572,6 +808,193 @@ def owa_eval_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         *[stable_round6(c).alias(c) for c in out.columns if c != "doc_id"],
     )
+
+
+# ---------------------------------------------------------------------------
+# Remaining filter/reshape/set-op coverage (SURVEY §2.2/§2.7/§2.8/§2.10)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "prefix_filter_documents",
+    f"""
+    SELECT doc_id, source, n_tok
+    FROM ({SEQUENCES_FROM_DOCUMENTS_SQL}) seqs
+    WHERE source LIKE 'src1%'
+    """,
+)
+def prefix_filter_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-prefix predicate (str.startswith group filters,
+    fforma/experiments/meta_results_r_data.py:132-137)."""
+    seq = sequences_from_documents(spark, sf_dir)
+    return seq.filter(F.col("source").startswith("src1")).select(
+        "doc_id", "source", "n_tok"
+    )
+
+
+@register(
+    "sparse_stats_documents",
+    f"""
+    SELECT doc_id,
+           len(list_filter(tokens, v -> v > 0)) AS n_demand,
+           CAST(list_sum(list_transform(tokens, v -> CASE WHEN v <> 0 THEN 1 ELSE 0 END)) AS BIGINT) AS n_nonzero,
+           len(tokens) - len(list_filter(tokens, v -> v > 0)) AS n_zero
+    FROM ({SEQUENCES_FROM_DOCUMENTS_SQL}) seqs
+    WHERE n_tok > 0
+    """,
+)
+def sparse_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse-series support ops (demand/probability,
+    fforma/base/_models.py:74-89,601-620) as array higher-order
+    functions — no explode, no shuffle."""
+    seq = sequences_from_documents(spark, sf_dir)
+    demand = F.filter("tokens", lambda v: v > 0)
+    nonzero = F.aggregate(
+        F.transform("tokens", lambda v: F.when(v != 0, 1).otherwise(0)),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    return seq.filter(F.col("n_tok") > 0).select(
+        "doc_id",
+        F.size(demand).alias("n_demand"),
+        nonzero.alias("n_nonzero"),
+        (F.size("tokens") - F.size(demand)).alias("n_zero"),
+    )
+
+
+@register(
+    "explode_panel_documents",
+    f"""
+    SELECT doc_id, CAST(g.i - 1 AS BIGINT) AS pos, tokens[g.i] AS val
+    FROM ({SEQUENCES_FROM_DOCUMENTS_SQL}) seqs,
+         UNNEST(generate_series(1, len(tokens))) AS g(i)
+    """,
+)
+def explode_panel_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """wide→long posexplode (fforma/utils/reshaping.py:61-90)."""
+    seq = sequences_from_documents(spark, sf_dir)
+    return seq.select(
+        "doc_id", F.posexplode("tokens").alias("pos", "val")
+    ).select("doc_id", F.col("pos").cast("long"), "val")
+
+
+@register(
+    "distinct_lang_source",
+    """
+    SELECT DISTINCT lang, source FROM documents
+    """,
+)
+def distinct_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DISTINCT (unique() analog, fforma/utils/m4_data.py:170)."""
+    return load_table(spark, sf_dir, "documents").select("lang", "source").distinct()
+
+
+_BT_CUTS = [24, 32, 40]
+
+
+@register(
+    "rolling_backtest_events",
+    f"""
+    WITH panel AS ({PANEL_FROM_EVENTS_SQL}),
+    cuts AS (SELECT unnest([{", ".join(map(str, _BT_CUTS))}]) AS cutoff),
+    ok AS (
+        SELECT p.doc_id, c.cutoff
+        FROM (SELECT doc_id, max(pos) AS mx FROM panel GROUP BY doc_id) p
+        JOIN cuts c ON p.mx >= c.cutoff + {_H} - 1
+    ),
+    last_train AS (
+        SELECT o.doc_id, o.cutoff, p.val AS last_v
+        FROM ok o JOIN panel p
+          ON p.doc_id = o.doc_id AND p.pos = o.cutoff - 1
+    ),
+    truth AS (
+        SELECT o.doc_id, o.cutoff, p.val AS y
+        FROM ok o JOIN panel p
+          ON p.doc_id = o.doc_id
+         AND p.pos >= o.cutoff AND p.pos < o.cutoff + {_H}
+    )
+    SELECT t.cutoff,
+           count(*) AS n_obs,
+           floor((200 * avg(CASE WHEN abs(t.y) + abs(l.last_v) <> 0
+                 THEN abs(t.y - l.last_v) / (abs(t.y) + abs(l.last_v)) END)) * 1000000.0 + 0.5) / 1000000.0 AS naive_smape
+    FROM truth t JOIN last_train l ON l.doc_id = t.doc_id AND l.cutoff = t.cutoff
+    GROUP BY t.cutoff
+    """,
+)
+def rolling_backtest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin backtest (fforma/experiments/business/
+    base_forecasts.py:77-110): per cutoff, train < cutoff → Naive
+    forecast → sMAPE over [cutoff, cutoff+h). The cutoff loop is a
+    cutoffs-dim crossjoin, not a driver loop — one Spark job."""
+    panel = panel_from_events(spark, sf_dir)
+    cuts = spark.createDataFrame([(c,) for c in _BT_CUTS], "cutoff int")
+    mx = panel.groupBy("doc_id").agg(F.max("pos").alias("mx"))
+    ok = mx.crossJoin(F.broadcast(cuts)).filter(
+        F.col("mx") >= F.col("cutoff") + _H - 1
+    ).select("doc_id", "cutoff")
+    last_train = ok.join(
+        panel,
+        (panel["doc_id"] == ok["doc_id"]) & (panel["pos"] == ok["cutoff"] - 1),
+    ).select(ok["doc_id"], "cutoff", F.col("val").alias("last_v"))
+    truth = ok.join(
+        panel,
+        (panel["doc_id"] == ok["doc_id"])
+        & (panel["pos"] >= ok["cutoff"])
+        & (panel["pos"] < ok["cutoff"] + _H),
+    ).select(ok["doc_id"], "cutoff", F.col("val").alias("y"))
+    j = truth.join(last_train, ["doc_id", "cutoff"])
+    e = F.abs(F.col("y") - F.col("last_v"))
+    sc = F.abs(F.col("y")) + F.abs(F.col("last_v"))
+    return j.groupBy("cutoff").agg(
+        F.count("*").alias("n_obs"),
+        stable_round6(200 * F.avg(F.when(sc != 0, e / sc))).alias(
+            "naive_smape"
+        ),
+    )
+
+
+@register("fforma_ensemble_documents")  # rows-only: GBT training is not SQL
+def fforma_ensemble_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full FFORMA pipeline end-to-end (fforma/fforma_python_futuro.
+    py:168-260): base models → per-series errors vs Naive2 → T0
+    features → numpy GBT meta-learner (driver, 1 row/series) →
+    distributed weight scoring → weighted rollup y_hat = Σ w·pred."""
+    from fforma_spark.functions.ensemble import weighted_rollup
+    from fforma_spark.functions.features import features_wide
+    from fforma_spark.functions.meta_learner import (
+        fforma_weights_df,
+        fit_fforma_spark,
+    )
+    from fforma_spark.functions.metrics import evaluate_with_owa, mase_scale
+    from fforma_spark.functions.models import (
+        base_forecasts,
+        holdout_truth,
+        train_split,
+    )
+
+    seq = sequences_from_documents(spark, sf_dir)
+    train = train_split(seq, default_h=8).cache()
+    fc = base_forecasts(seq, default_h=8).cache()
+    truth = holdout_truth(seq, default_h=8)
+    model_cols = [
+        "naive_forec", "snaive_forec", "rw_drift_forec", "average_forec",
+        "ses_forec", "naive2_forec",
+    ]
+    scale = mase_scale(
+        explode_panel(train).select("doc_id", "pos", "val"), F.lit(1)
+    )
+    ev = evaluate_with_owa(truth, fc, model_cols, scale, bench="naive2_forec")
+    loss_cols = [c.removesuffix("_forec") + "_owa" for c in model_cols]
+    feats = features_wide(train).na.fill(0.0)
+    errors = ev.select("doc_id", *loss_cols).na.fill(0.0)
+    model, kept, fcols = fit_fforma_spark(
+        feats, errors, loss_cols, benchmark="naive2_owa",
+        n_rounds=20, max_depth=3,
+    )
+    w = fforma_weights_df(spark, model, feats, fcols, kept)
+    kept_models = [m.removesuffix("_owa") + "_forec" for m in kept]
+    out = weighted_rollup(fc, w, kept_models, kept)
+    return out.withColumn("y_hat", stable_round6("y_hat"))
 
 
 # Training-data pipeline registrations (dedup / similarity / text /

@@ -31,17 +31,30 @@ def get_spark(
         n = master[6:-1] if master.startswith("local[") else str(cpus)
         shuffle_partitions = cpus if n == "*" else int(n)
 
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Single-JVM local mode: many task threads contend on the
+        # process mmap_lock (measured: threads stuck in
+        # lock_mm_and_find_vma/__vm_munmap during shuffles). Fixed,
+        # pre-touched heap + ParallelGC (never uncommits regions) +
+        # no shuffle-block mmap removes the mmap/munmap churn.
+        # Irrelevant-but-harmless on a real cluster (executor JVMs are
+        # sized with Xms=Xmx there anyway).
+        .config(
+            "spark.driver.extraJavaOptions",
+            f"-Xms{mem} -XX:+AlwaysPreTouch -XX:+UseParallelGC",
+        )
+        .config("spark.storage.memoryMapThreshold", "2g")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.driver.memory", mem)
         .config("spark.ui.enabled", "false")
         # numpy kernels inside pandas UDFs must not oversubscribe BLAS
         # (reference pins BLAS to 1 thread: fforma/utils/utils.py:28-32)

@@ -1,0 +1,113 @@
+"""Structured-Streaming continuous aggregates — the streaming twin of
+the batch tier rollup.
+
+The reference is strictly batch (SURVEY §2.11); the north rule's
+"continuous aggregates / retention" are served by the incremental-batch
+checkpoint ladder (plans/checkpoint.py). This module adds the streaming
+ingestion path for completeness: the SAME tier semantics expressed as a
+watermarked tumbling-window aggregate over an event-time stream, so a
+deployment can keep T1 hot from a live feed and let the batch ladder
+re-derive T2/T3 from it (identical partial→final algebra).
+
+Equivalence contract (tested): running the stream with the
+``availableNow`` trigger over a static directory produces exactly the
+batch groupBy result.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def streaming_events(
+    spark: SparkSession, input_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(input_dir)
+
+
+def streaming_tier_rollup(
+    events: DataFrame,
+    window_duration: str = "1 minute",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """T1-equivalent continuous aggregate: tumbling event-time windows
+    per user with the tier stats vocabulary (cnt/vmin/vmax/vsum/vmean).
+
+    Watermark bounds state for late data; the output is append-mode
+    finalizable once the watermark passes the window end.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            F.col("user_id").cast("string").alias("doc_id"),
+            F.window("ts", window_duration).alias("w"),
+        )
+        .agg(
+            F.count("*").alias("cnt"),
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
+            F.sum("value").alias("vsum"),
+        )
+        .select(
+            "doc_id",
+            F.col("w.start").alias("bucket_start"),
+            "cnt",
+            "vmin",
+            "vmax",
+            "vsum",
+            (F.col("vsum") / F.col("cnt")).alias("vmean"),
+        )
+    )
+
+
+def batch_tier_rollup_events(
+    events: DataFrame, window_duration: str = "1 minute"
+) -> DataFrame:
+    """The batch twin of streaming_tier_rollup (same output schema) —
+    the equivalence oracle."""
+    return (
+        events.groupBy(
+            F.col("user_id").cast("string").alias("doc_id"),
+            F.window("ts", window_duration).alias("w"),
+        )
+        .agg(
+            F.count("*").alias("cnt"),
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
+            F.sum("value").alias("vsum"),
+        )
+        .select(
+            "doc_id",
+            F.col("w.start").alias("bucket_start"),
+            "cnt",
+            "vmin",
+            "vmax",
+            "vsum",
+            (F.col("vsum") / F.col("cnt")).alias("vmean"),
+        )
+    )
+
+
+def run_available_now(
+    rollup: DataFrame, checkpoint_dir: str, table_name: str
+) -> None:
+    """Drain everything currently available through the streaming
+    engine into an in-memory table, then stop — the batch-equivalence
+    harness (and the backfill pattern for production)."""
+    q = (
+        rollup.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(table_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

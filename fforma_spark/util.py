@@ -26,6 +26,21 @@ def sql_round6(expr: str) -> str:
     return f"(floor(({expr}) * 1000000.0 + 0.5) / 1000000.0)"
 
 
+def stable_round(col: Column | str, digits: int) -> Column:
+    """Lower-precision variant for aggregates whose float reduction
+    ORDER differs across engines (e.g. long window frames: DuckDB uses
+    segment trees, Spark streams the frame) — the ~1e-13 divergence
+    must stay far from the rounding boundary."""
+    scale = float(10**digits)
+    c = F.col(col) if isinstance(col, str) else col
+    return (F.floor(c * F.lit(scale) + F.lit(0.5)) / F.lit(scale)).cast("double")
+
+
+def sql_round(expr: str, digits: int) -> str:
+    scale = float(10**digits)
+    return f"(floor(({expr}) * {scale} + 0.5) / {scale})"
+
+
 def ensure_parallelism(df, min_parts: int | None = None):
     """Repartition up when the scan produced too few splits.
 

@@ -47,12 +47,20 @@ def main() -> None:
     )
     args = ap.parse_args()
 
+    import os
+
+    # pin BLAS pools BEFORE the JVM (and its python workers) inherit the
+    # env: 32 workers × unpinned OpenMP = thousands of spinning threads
+    # (reference pins BLAS too: fforma/utils/utils.py:28-32)
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
+
     from pyspark.sql import SparkSession
 
     from fforma_spark.operators.reshape import explode_panel
     from fforma_spark.operators.rollup import TierSpec
     from fforma_spark.plans.checkpoint import materialize_ladder
-    from fforma_spark.plans.skew import salted_repartition, skew_report
+    from fforma_spark.plans.skew import skew_report
     from fforma_spark.sources.synth import synth_sequences
 
     from fforma_spark.session import warm_python_workers
@@ -63,7 +71,9 @@ def main() -> None:
     t0 = time.time()
 
     if args.synth:
-        seq = synth_sequences(spark, args.synth, args.seed)
+        # cache: seq feeds skew_report, the ladder, the compress tier
+        # and the feature tier — generate once, not once per consumer
+        seq = synth_sequences(spark, args.synth, args.seed).cache()
         fingerprint = f"synth:{args.synth}:{args.seed}"
     elif args.input:
         seq = spark.read.parquet(args.input)
@@ -77,17 +87,24 @@ def main() -> None:
         for name, bucket in (t.split(":") for t in args.tiers.split(","))
     )
 
+    phase = {}
+    tp = time.time()
     report = skew_report(seq)
-    panel = salted_repartition(
-        explode_panel(seq),
-        spark.sparkContext.defaultParallelism,
-        n_salts=args.salts,
-    )
+    phase["gen_cache_skew_sec"] = round(time.time() - tp, 3)
+    tp = time.time()
+    # NOTE: no explicit repartition before the ladder — rollup_tier's
+    # groupBy(doc_id, bucket) already shuffles AND spreads whale docs
+    # across bucket keys; salting here would add a redundant full
+    # shuffle of the raw panel. salted_repartition (plans.skew) is for
+    # kernel stages that must co-locate whole docs, not for the
+    # associative tier agg.
+    panel = explode_panel(seq)
     manifests = materialize_ladder(
         panel, args.output, tiers, fingerprint, args.exact_decimals
     )
+    phase["ladder_sec"] = round(time.time() - tp, 3)
 
-    extra = {}
+    extra = {"phases": phase}
     if args.compress:
         from pyspark.sql import functions as F
 
