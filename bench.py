@@ -47,7 +47,6 @@ def run_bench(master: str) -> dict:
     from fforma_spark.functions.metrics import evaluate_models
     from fforma_spark.functions.models import base_forecasts, holdout_truth
     from fforma_spark.operators.gapfill import locf_fill
-    from fforma_spark.operators.rollup import TierSpec, rollup_ladder
     from fforma_spark.session import get_spark, warm_python_workers
     from fforma_spark.sources.tables import (
         panel_from_events,
@@ -85,14 +84,17 @@ def run_bench(master: str) -> dict:
     # q1: full retention cascade T1(16) -> T2(64) -> T3(256) over the
     # events panel (counts force execution of every tier).
     def q_cascade():
-        tiers = rollup_ladder(
-            panel,
-            (TierSpec("t1", 16), TierSpec("t2", 64), TierSpec("t3", 256)),
-        )
-        rows = 0
-        for df in tiers.values():
-            rows += df.count()
-        counters["rollup_rows"] = float(rows)
+        from fforma_spark.operators.rollup import rollup_from_tier, rollup_tier
+
+        # mirror the materialized production cascade: each tier is
+        # computed once and reused by the next (cache = stand-in for
+        # the checkpoint write)
+        t1 = rollup_tier(panel, 16).cache()
+        t2 = rollup_from_tier(t1, 4).cache()
+        t3 = rollup_from_tier(t2, 4)
+        counters["rollup_rows"] = float(t1.count() + t2.count() + t3.count())
+        t1.unpersist()
+        t2.unpersist()
 
     timed("rollup_cascade", q_cascade)
 
@@ -207,6 +209,8 @@ def run_scaling() -> dict:
         for n in (8, 32):
             out_dir = f"/tmp/scaling_tiers_{n}"
             shutil.rmtree(out_dir, ignore_errors=True)
+            time.sleep(20)  # let the kernel finish tearing down the
+            # previous leg's pre-touched heap before timing the next
             proc = subprocess.run(
                 [
                     submit,
@@ -214,11 +218,11 @@ def run_scaling() -> dict:
                     f"local[{n}]",
                     "--conf", "spark.sql.shuffle.partitions=%d" % n,
                     "--conf", "spark.sql.adaptive.enabled=true",
-                    "--conf", "spark.driver.memory=16g",
+                    "--conf", "spark.driver.memory=8g",
                     "--conf", "spark.ui.enabled=false",
                     # see fforma_spark.session: mmap_lock mitigation
                     "--conf",
-                    "spark.driver.extraJavaOptions=-Xms16g -XX:+AlwaysPreTouch -XX:+UseParallelGC",
+                    "spark.driver.extraJavaOptions=-Xms8g -XX:+AlwaysPreTouch -XX:+UseParallelGC",
                     "--conf", "spark.storage.memoryMapThreshold=2g",
                     "--py-files",
                     zpath,

@@ -811,6 +811,134 @@ def owa_eval_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Quantile-loss metrics (SURVEY §2.4: pinball metrics.py:245-270,
+# rmsse :182-205) over the closed-form forecast panel
+# ---------------------------------------------------------------------------
+
+_TAU = 0.8
+
+
+@register(
+    "pinball_rmsse_events",
+    f"""
+    WITH fc AS ({_SQL_FC}),
+    panel AS ({PANEL_FROM_EVENTS_SQL}),
+    stats AS (
+        SELECT doc_id, max(pos) + 1 - {_H} AS cutoff
+        FROM panel GROUP BY doc_id HAVING max(pos) + 1 > {_H} + {_S}
+    ),
+    truth AS (
+        SELECT p.doc_id, p.pos - s.cutoff AS pos, p.val AS y
+        FROM panel p JOIN stats s USING (doc_id)
+        WHERE p.pos >= s.cutoff
+    ),
+    scale2 AS (
+        SELECT p.doc_id, avg((p.val - q.val) * (p.val - q.val)) AS mse_scale
+        FROM panel p
+        JOIN stats s ON p.doc_id = s.doc_id
+        JOIN panel q ON q.doc_id = p.doc_id AND q.pos = p.pos - {_S}
+        WHERE p.pos < s.cutoff AND q.pos < s.cutoff
+        GROUP BY p.doc_id
+    )
+    SELECT t.doc_id,
+           {sql_round6(f"avg(CASE WHEN t.y >= f.naive_forec THEN {_TAU} * (t.y - f.naive_forec) ELSE ({_TAU} - 1) * (t.y - f.naive_forec) END)")} AS naive_pinball,
+           {sql_round6("CASE WHEN any_value(s2.mse_scale) > 0 THEN 100 * sqrt(avg((t.y - f.naive_forec) * (t.y - f.naive_forec)) / any_value(s2.mse_scale)) END")} AS naive_rmsse
+    FROM truth t
+    JOIN fc f USING (doc_id, pos)
+    JOIN scale2 s2 ON s2.doc_id = t.doc_id
+    GROUP BY t.doc_id
+    """,
+)
+def pinball_rmsse_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pinball loss at τ=0.8 (fforma/metrics/numpy/metrics.py:245-270)
+    and RMSSE (:182-205, scale = in-sample seasonal-naive MSE) per
+    series for the Naive forecast — Catalyst aggregates only."""
+    panel = panel_from_events(spark, sf_dir)
+    stats = (
+        panel.groupBy("doc_id")
+        .agg((F.max("pos") + 1).alias("n"))
+        .filter(F.col("n") > _H + _S)
+        .withColumn("cutoff", F.col("n") - _H)
+    )
+    truth = (
+        panel.join(stats.select("doc_id", "cutoff"), "doc_id")
+        .filter(F.col("pos") >= F.col("cutoff"))
+        .select(
+            "doc_id",
+            (F.col("pos") - F.col("cutoff")).alias("pos"),
+            F.col("val").alias("y"),
+        )
+    )
+    train = panel.join(stats.select("doc_id", "cutoff"), "doc_id").filter(
+        F.col("pos") < F.col("cutoff")
+    )
+    shifted = train.select(
+        "doc_id", (F.col("pos") + _S).alias("pos"), F.col("val").alias("_pv")
+    )
+    scale2 = (
+        train.join(shifted, ["doc_id", "pos"])
+        .groupBy("doc_id")
+        .agg(F.avg(F.pow(F.col("val") - F.col("_pv"), 2)).alias("mse_scale"))
+    )
+    fc = _forecasts_events_spark(spark, sf_dir)
+    j = truth.join(fc, ["doc_id", "pos"]).join(scale2, "doc_id")
+    e = F.col("y") - F.col("naive_forec")
+    pinball = F.avg(
+        F.when(e >= 0, _TAU * e).otherwise((_TAU - 1) * e)
+    )
+    rmsse = F.when(
+        F.first("mse_scale") > 0,
+        100 * F.sqrt(F.avg(e * e) / F.first("mse_scale")),
+    )
+    return j.groupBy("doc_id").agg(
+        stable_round6(pinball).alias("naive_pinball"),
+        stable_round6(rmsse).alias("naive_rmsse"),
+    )
+
+
+@register(
+    "xor_roundtrip_tier",
+    f"""
+    SELECT doc_id, TRUE AS ok
+    FROM ({rollup_tier_sql(_T1_BUCKET, PANEL_FROM_EVENTS_SQL)}) t
+    GROUP BY doc_id
+    """,
+)
+def xor_roundtrip_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gorilla-XOR float codec round-trip on the T1 vmean series per
+    doc (the float half of the compression tier; the int half is
+    compress_roundtrip_documents). Oracle is the identity truth table —
+    a codec defect flips ok."""
+    from fforma_spark.functions.compress import (
+        compress_floats_udf,
+        decompress_floats_udf,
+    )
+
+    t1 = rollup_tier(panel_from_events(spark, sf_dir), _T1_BUCKET)
+    series = t1.groupBy("doc_id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("bucket", "vmean"))),
+            lambda s: s["vmean"],
+        ).alias("vals")
+    )
+    rt = series.select(
+        "doc_id",
+        "vals",
+        decompress_floats_udf()(compress_floats_udf()("vals")).alias("_rt"),
+    )
+    return rt.select(
+        "doc_id",
+        (
+            (F.size("vals") == F.size("_rt"))
+            & F.forall(
+                F.zip_with("vals", "_rt", lambda a, b: a.eqNullSafe(b)),
+                lambda x: x,
+            )
+        ).alias("ok"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Remaining filter/reshape/set-op coverage (SURVEY §2.2/§2.7/§2.8/§2.10)
 # ---------------------------------------------------------------------------
 
