@@ -1081,6 +1081,52 @@ def rolling_backtest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("quantile_forecasts_documents")  # rows-only: IRLS is not SQL
+def quantile_forecasts_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile AR forecasts (q10/q50/q90) per doc — from-scratch IRLS
+    pinball regression on AR lags (fforma/base/_quantile_models.py:49-225
+    semantics), one mapInPandas pass."""
+    import numpy as np
+    import pandas as pd
+
+    from fforma_spark.functions.quantile import quantile_ar_forecast
+    from fforma_spark.util import ensure_parallelism
+
+    h = 8
+
+    def gen(it):
+        for pdf in it:
+            frames = []
+            for doc_id, tokens in zip(pdf["doc_id"], pdf["tokens"]):
+                y = np.asarray(tokens, dtype=np.float64)
+                if len(y) <= h + 3:
+                    continue
+                train = y[:-h]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "doc_id": doc_id,
+                            "pos": np.arange(h, dtype=np.int64),
+                            "q10": quantile_ar_forecast(train, h, 0.1),
+                            "q50": quantile_ar_forecast(train, h, 0.5),
+                            "q90": quantile_ar_forecast(train, h, 0.9),
+                        }
+                    )
+                )
+            cols = ["doc_id", "pos", "q10", "q50", "q90"]
+            yield (
+                pd.concat(frames, ignore_index=True)[cols]
+                if frames
+                else pd.DataFrame(columns=cols)
+            )
+
+    seq = sequences_from_documents(spark, sf_dir)
+    src = ensure_parallelism(seq.select("doc_id", "tokens"))
+    return src.mapInPandas(
+        gen, "doc_id string, pos long, q10 double, q50 double, q90 double"
+    )
+
+
 @register("fforma_ensemble_documents")  # rows-only: GBT training is not SQL
 def fforma_ensemble_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full FFORMA pipeline end-to-end (fforma/fforma_python_futuro.

@@ -28,61 +28,9 @@ import pytest
 @pytest.fixture(scope="module")
 def ref():
     """Import reference fforma.base._models with inert dep stand-ins."""
-    def fake_module(name, **attrs):
-        m = types.ModuleType(name)
-        for k, v in attrs.items():
-            setattr(m, k, v)
-        sys.modules.setdefault(name, m)
-        return m
+    from ref_stubs import install_reference_stubs
 
-    class _BaseEstimator:  # noqa: D401 — stand-in base classes
-        pass
-
-    class _RegressorMixin:
-        pass
-
-    fake_module("cvxpy", Variable=object, Minimize=object, Problem=object,
-                sum_squares=object, norm=object)
-    fake_module("cvxpy.error", SolverError=Exception)
-    fake_module(
-        "sklearn",
-    )
-    fake_module(
-        "sklearn.base",
-        BaseEstimator=_BaseEstimator,
-        RegressorMixin=_RegressorMixin,
-        clone=lambda x: x,
-    )
-    fake_module("sklearn.decomposition", PCA=object)
-    fake_module("scipy")
-    fake_module("scipy.optimize", minimize=None)
-    fake_module("statsmodels")
-    fake_module("statsmodels.regression")
-    fake_module(
-        "statsmodels.regression.quantile_regression", QuantReg=object
-    )
-    fake_module(
-        "statsmodels.regression.linear_model",
-        RegressionResultsWrapper=object,
-    )
-    fake_module("statsmodels.api", OLS=object)
-    fake_module("statsmodels.tsa")
-    fake_module("statsmodels.tsa.stattools", adfuller=object)
-    # fforma.base.__init__ also pulls the rpy2-backed R wrappers; stub
-    # the rpy2 surface touched at import time (importr returns a dummy)
-    fake_module("sklearn.utils")
-    fake_module("sklearn.utils.validation", check_is_fitted=lambda *a, **k: None)
-    fake_module("rpy2")
-    fake_module("rpy2.robjects", r=None, pandas2ri=None, numpy2ri=None)
-    fake_module("rpy2.robjects.packages", importr=lambda name: types.SimpleNamespace())
-    fake_module("rpy2.robjects.vectors", IntVector=object, FloatVector=object)
-    sys.modules["rpy2.robjects"].pandas2ri = types.SimpleNamespace(
-        activate=lambda: None
-    )
-    sys.modules["rpy2.robjects"].numpy2ri = types.SimpleNamespace(
-        activate=lambda: None
-    )
-    sys.path.insert(0, "/root/reference")
+    install_reference_stubs()
     import fforma.base._models as ref_models
     import fforma.metrics.numpy.metrics as ref_metrics
 
