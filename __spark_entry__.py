@@ -24,24 +24,45 @@ def _ensure_shipped(spark: SparkSession) -> None:
 
     Equivalent to ``spark-submit --py-files``: the driver process may
     import this module from any cwd, but pandas-UDF workers need the
-    package importable too. Zip once per process, addPyFile is
-    idempotent.
+    package importable too. The zip is named by a content fingerprint
+    (md5 of every .py's bytes) so editing any source invalidates it —
+    a fixed name would let executors silently run stale kernel code.
+    Written atomically (temp file + os.rename) so a concurrent driver
+    never addPyFiles a partial zip.
     """
+    import hashlib
+    import tempfile
     import zipfile
 
-    zpath = os.path.join("/tmp", "fforma_spark_pkg.zip")
+    pkg = os.path.join(_REPO, "fforma_spark")
+    sources = []
+    for root, _dirs, files in os.walk(pkg):
+        for fn in sorted(files):
+            if fn.endswith(".py"):
+                sources.append(os.path.join(root, fn))
+    sources.sort()
+    dig = hashlib.md5()
+    for full in sources:
+        dig.update(os.path.relpath(full, _REPO).encode())
+        with open(full, "rb") as f:
+            dig.update(f.read())
+    zpath = os.path.join("/tmp", f"fforma_spark_pkg_{dig.hexdigest()[:12]}.zip")
     if not os.path.exists(zpath):
-        with zipfile.ZipFile(zpath, "w") as z:
-            pkg = os.path.join(_REPO, "fforma_spark")
-            for root, _dirs, files in os.walk(pkg):
-                for fn in files:
-                    if fn.endswith(".py"):
-                        full = os.path.join(root, fn)
-                        z.write(full, os.path.relpath(full, _REPO))
+        fd, tmp = tempfile.mkstemp(suffix=".zip", dir="/tmp")
+        os.close(fd)
+        with zipfile.ZipFile(tmp, "w") as z:
+            for full in sources:
+                z.write(full, os.path.relpath(full, _REPO))
+        os.rename(tmp, zpath)
     try:
         spark.sparkContext.addPyFile(zpath)
-    except Exception:  # noqa: BLE001 — already added in this context
-        pass
+    except Exception as exc:  # noqa: BLE001
+        # addPyFile raises only for a same-name re-add with different
+        # contents; same-name same-content is a no-op. The fingerprint
+        # name makes re-adds identical, so anything else is a genuine
+        # shipping failure worth surfacing.
+        if "already" not in str(exc).lower():
+            raise
 
 
 def entry(spark: SparkSession) -> DataFrame:

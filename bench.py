@@ -162,7 +162,7 @@ def run_scaling() -> dict:
     compression + feature kernels) on the SAME deterministic input at
     N=8 and 4N=32 cores. Efficiency = speedup / 4.
 
-    Input size (SPARK_GRAFT_SCALE_DOCS, default 30000 docs ≈ 8M
+    Input size (SPARK_GRAFT_SCALE_DOCS, default 400000 docs ≈ 82M
     points) is chosen so compute dominates fixed job overhead — the
     sandbox stand-in for the two-cluster-size criterion.
     """

@@ -206,9 +206,11 @@ def naive(y: np.ndarray, h: int) -> np.ndarray:
 
 
 def seasonal_naive(y: np.ndarray, h: int, seasonality: int) -> np.ndarray:
-    """Tile the last season (fforma/base/_models.py:261-306)."""
+    """Tile the last season (fforma/base/_models.py:261-306). When the
+    series is shorter than one season the whole series is the tile
+    (reps sized by the actual tail so the output is always length h)."""
     tail = np.asarray(y, dtype=np.float64)[-seasonality:]
-    reps = int(np.ceil(h / seasonality))
+    reps = int(np.ceil(h / len(tail)))
     return np.tile(tail, reps)[:h]
 
 
@@ -485,6 +487,159 @@ def hurst_exponent(x: np.ndarray) -> float:
     return float(slope)
 
 
+def _fast_centered_ma(x: np.ndarray, w: int) -> np.ndarray:
+    """Cumsum-based centered moving average, NaN where the window is
+    not full; center index floor((w−1)/2). ~30× cheaper than the
+    pandas-backed :func:`centered_ma` (which stays pandas for
+    bit-parity with the reference's Naive2 path)."""
+    n = len(x)
+    out = np.full(n, np.nan)
+    if w > n or w < 1:
+        return out
+    c = np.concatenate(([0.0], np.cumsum(x)))
+    lo = (w - 1) // 2
+    out[lo : lo + n - w + 1] = (c[w:] - c[:-w]) / w
+    return out
+
+
+def _classical_additive(
+    x: np.ndarray, ppy: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Additive classical decomposition (trend, seasonal, remainder).
+
+    Stand-in for the STL the published tsfeatures uses for
+    spike/linearity/curvature: trend = centered MA, seasonal =
+    mean-adjusted per-phase means of the detrended series, remainder
+    = x − trend − seasonal. Edges where the MA is undefined are NaN.
+    """
+    x = np.asarray(x, dtype=np.float64)
+    n = len(x)
+    window = ppy if ppy > 1 else min(max((n // 8) * 2 + 1, 3), n)
+    t_hat = _fast_centered_ma(x, window)
+    detr = x - t_hat
+    if ppy > 1 and n >= 2 * ppy:
+        phases = np.arange(n) % ppy
+        with np.errstate(invalid="ignore"):
+            si = np.array(
+                [np.nanmean(detr[phases == p]) for p in range(ppy)]
+            )
+        si = si - si.mean()
+        s_hat = si[phases]
+    else:
+        s_hat = np.zeros(n)
+    rem = x - t_hat - s_hat
+    return t_hat, s_hat, rem
+
+
+def spike(x: np.ndarray, ppy: int, rem: np.ndarray | None = None) -> float:
+    """tsfeatures `spike`: variance of the leave-one-out variances of
+    the decomposition remainder (Hyndman stl_features; vocabulary
+    attested at fforma/experiments/experiment.py:414).
+
+    varloo_i = (var(r)·(n−1) − (r_i − mean r)²) / (n−2);
+    spike = var(varloo). ``rem`` lets callers share one decomposition.
+    """
+    if rem is None:
+        _, _, rem = _classical_additive(x, ppy)
+    r = rem[~np.isnan(rem)]
+    n = len(r)
+    if n < 3:
+        return 0.0
+    v = float(np.var(r, ddof=1))
+    d = (r - r.mean()) ** 2
+    varloo = (v * (n - 1) - d) / (n - 2)
+    return float(np.var(varloo, ddof=1))
+
+
+def _ortho_poly2(n: int) -> np.ndarray:
+    """R poly(1:n, 2)-style orthonormal basis (n, 2): QR of the
+    centered Vandermonde, signs fixed deterministically (linear column
+    increasing, quadratic column convex)."""
+    t = np.arange(n, dtype=np.float64)
+    V = np.stack([np.ones(n), t, t * t], axis=1)
+    Q, _ = np.linalg.qr(V)
+    P = Q[:, 1:3]
+    if P[-1, 0] < P[0, 0]:  # linear column must increase
+        P[:, 0] = -P[:, 0]
+    if P[0, 1] + P[-1, 1] < 2 * P[n // 2, 1]:  # quadratic must be convex
+        P[:, 1] = -P[:, 1]
+    return P
+
+
+def linearity_curvature(
+    x: np.ndarray, ppy: int, t_hat: np.ndarray | None = None
+) -> tuple[float, float]:
+    """tsfeatures `linearity`/`curvature`: the two coefficients of the
+    decomposition TREND component regressed on an orthonormal
+    quadratic basis (Hyndman stl_features: coef(lm(trend ~ poly(tt,
+    2)))[2:3]). ``t_hat`` lets callers share one decomposition."""
+    if t_hat is None:
+        t_hat, _, _ = _classical_additive(x, ppy)
+    ok = ~np.isnan(t_hat)
+    tr = t_hat[ok]
+    n = len(tr)
+    if n < 3:
+        return 0.0, 0.0
+    P = _ortho_poly2(n)
+    coef, *_ = np.linalg.lstsq(P, tr, rcond=None)
+    return float(coef[0]), float(coef[1])
+
+
+def holt_winters_params(
+    x: np.ndarray, ppy: int, max_points: int = 64
+) -> tuple[float, float, float]:
+    """(hw_alpha, hw_beta, hw_gamma): additive Holt-Winters smoothing
+    constants fitted by one-step-ahead SSE over a deterministic coarse
+    grid (tsfeatures `hw_parameters` semantics; the exact optimizer is
+    this engine's own — features feed a GBT, so grid resolution is
+    enough). ppy == 1 → Holt's linear (gamma = 0). The fit window is
+    capped at the last ``max_points`` points so the kernel stays O(1)
+    per series on whale documents.
+
+    Vectorized across the whole (α, β, γ) grid: the time loop is
+    Python but every step updates (n_grid,) state arrays.
+    """
+    x = np.asarray(x, dtype=np.float64)
+    if len(x) > max_points:
+        x = x[-max_points:]
+    n = len(x)
+    seasonal = ppy > 1 and n >= 2 * ppy + 2
+    m = ppy if seasonal else 1
+    if n < max(2 * m + 2, 6) or np.var(x) == 0:
+        return 0.0, 0.0, 0.0
+    alphas = np.array([0.05, 0.15, 0.3, 0.5, 0.7, 0.9])
+    betas = np.array([0.0, 0.05, 0.15, 0.3, 0.6])
+    gammas = np.array([0.0, 0.05, 0.15, 0.3, 0.6]) if seasonal else np.array([0.0])
+    A, B, G = np.meshgrid(alphas, betas, gammas, indexing="ij")
+    a, b, g = A.ravel(), B.ravel(), G.ravel()
+    k = len(a)
+    # standard HW initialization from the first two seasons
+    if seasonal:
+        l0 = x[:m].mean()
+        b0 = (x[m : 2 * m].mean() - x[:m].mean()) / m
+        s0 = x[:m] - l0
+    else:
+        l0, b0, s0 = x[0], x[1] - x[0], np.zeros(1)
+    level = np.full(k, l0)
+    trend = np.full(k, b0)
+    seas = np.tile(s0, (k, 1))
+    sse = np.zeros(k)
+    start = m if seasonal else 1
+    for i in range(start, n):
+        si = seas[:, i % m]
+        f = level + trend + si
+        e = x[i] - f
+        sse += e * e
+        new_level = level + trend + a * e
+        trend = trend + a * b * e
+        seas[:, i % m] = si + g * e
+        level = new_level
+    j = int(np.argmin(sse))
+    # error-correction form: hw_beta is the trend smoothing RATIO β*
+    # (trend step = α·β*·e), hw_gamma the seasonal constant
+    return float(a[j]), float(b[j]), float(g[j]) if seasonal else 0.0
+
+
 FEATURE_NAMES = [
     "series_length",
     "mean",
@@ -502,6 +657,14 @@ FEATURE_NAMES = [
     "flat_spots",
     "hurst",
     "nonzero_ratio",
+    "spike",
+    "linearity",
+    "curvature",
+    "hw_alpha",
+    "hw_beta",
+    "hw_gamma",
+    "nperiods",
+    "seasonal_period",
 ]
 
 
@@ -515,6 +678,13 @@ def feature_vector(x: np.ndarray, seasonality: int) -> dict[str, float]:
     acf10 = float(sum(acf(x, k) ** 2 for k in range(1, min(11, n))))
     trend_s, seas_s = decompose_strengths(x, seasonality)
     width = seasonality if seasonality > 1 else 10
+    if n >= 3:
+        t_hat, _, rem = _classical_additive(x, seasonality)
+        lin, curv = linearity_curvature(x, seasonality, t_hat=t_hat)
+        spike_v = spike(x, seasonality, rem=rem)
+    else:
+        lin, curv, spike_v = 0.0, 0.0, 0.0
+    hw_a, hw_b, hw_g = holt_winters_params(x, seasonality)
     out = {
         "series_length": float(n),
         "mean": float(x.mean()),
@@ -532,5 +702,13 @@ def feature_vector(x: np.ndarray, seasonality: int) -> dict[str, float]:
         "flat_spots": float(flat_spots(x)),
         "hurst": hurst_exponent(x),
         "nonzero_ratio": float((x != 0).mean()),
+        "spike": spike_v,
+        "linearity": lin,
+        "curvature": curv,
+        "hw_alpha": hw_a,
+        "hw_beta": hw_b,
+        "hw_gamma": hw_g,
+        "nperiods": 1.0 if seasonality > 1 else 0.0,
+        "seasonal_period": float(seasonality),
     }
     return {k: (0.0 if (v is None or not np.isfinite(v)) else float(v)) for k, v in out.items()}

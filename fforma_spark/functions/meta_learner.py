@@ -62,7 +62,14 @@ class _Tree:
         self.root: _Node | None = None
 
     def _leaf(self, g: np.ndarray, h: np.ndarray) -> _Node:
-        return _Node(value=-g.sum() / (h.sum() + self.lam), is_leaf=True)
+        H = h.sum()
+        if H < self.mcw:
+            # FFORMA hessians can be negative (softmax objective is
+            # non-convex); xgboost handles that by pruning leaves whose
+            # summed hessian is below min_child_weight. Take no step
+            # rather than a Newton step against untrusted curvature.
+            return _Node(value=0.0, is_leaf=True)
+        return _Node(value=-g.sum() / (H + self.lam), is_leaf=True)
 
     def _best_split(self, X: np.ndarray, g: np.ndarray, h: np.ndarray):
         n, d = X.shape
@@ -141,8 +148,10 @@ class NumpyFFORMA:
         L = (p * errors).sum(axis=1, keepdims=True)
         grad = p * (errors - L)
         hess = errors * p * (1.0 - p) - grad * p
-        # guard: hessians must be positive for the leaf formula
-        hess = np.maximum(hess, 1e-12)
+        # hessians are handed to the trees RAW (possibly negative),
+        # exactly like the reference hands them to xgboost
+        # (fforma/meta_learner/_XGBoost.py:65); _Tree guards low/negative
+        # curvature via min_child_weight (split gate + leaf no-step).
         return grad, hess, float(L.mean())
 
     def fit(self, X: np.ndarray, errors: np.ndarray) -> "NumpyFFORMA":
@@ -188,18 +197,39 @@ def fit_fforma_spark(
     loss_cols: list[str],
     benchmark: str,
     feature_cols: list[str] | None = None,
+    train_row_budget: int | None = 2_000_000,
+    sample_seed: int = 2024,
     **params,
 ) -> tuple[NumpyFFORMA, list[str], list[str]]:
     """Train on the collected per-series (features ⋈ errors) matrix —
     1 row/series, the same driver-side shape the reference uses.
 
+    The collect is CAPPED: above ``train_row_budget`` rows a seeded
+    stratified sample (by doc_id first character, Spark ``sampleBy``)
+    is taken first, so at the 10^12-doc target the driver pulls a
+    bounded ~budget×(features+errors) matrix instead of ~10 TB. GBT
+    weight functions are smooth in the feature distribution, so a
+    multi-million-series sample preserves them (test:
+    tests/test_meta_learner.py sampled-vs-full agreement). Scoring is
+    always fully distributed (fforma_weights_df).
+
     Returns (model, kept_models, feature_cols). Benchmark-relative
     scaling and loser pruning per _XGBoost.py:98-116.
     """
     import pandas as pd  # noqa: F401
+    from pyspark.sql import functions as SF
 
-    joined = features_df.join(errors_df, "doc_id").orderBy("doc_id")
-    pdf = joined.toPandas()
+    joined = features_df.join(errors_df, "doc_id")
+    if train_row_budget is not None:
+        n_total = joined.count()
+        if n_total > train_row_budget:
+            frac = train_row_budget / n_total
+            joined = joined.withColumn("_pfx", SF.substring("doc_id", 1, 1))
+            prefixes = [r[0] for r in joined.select("_pfx").distinct().collect()]
+            joined = joined.sampleBy(
+                "_pfx", {p: frac for p in prefixes}, seed=sample_seed
+            ).drop("_pfx")
+    pdf = joined.orderBy("doc_id").toPandas()
     if feature_cols is None:
         feature_cols = [c for c in features_df.columns if c != "doc_id"]
     models = [c for c in loss_cols if c != benchmark]

@@ -87,12 +87,13 @@ def evaluate_with_owa(
     forecasts: DataFrame,
     model_cols: list[str],
     scale_df: DataFrame,
-    bench: str = "naive2_forec",
+    bench: str | None = "naive2_forec",
 ) -> DataFrame:
     """Per-series smape + mase (+ OWA vs the Naive2 benchmark) for every
     model — the contribution-to-error matrix the meta-learner consumes
     (fforma/meta_learner/_XGBoost.py:98-119; mini_owa
-    fforma/metrics/numpy/metrics.py:207-243)."""
+    fforma/metrics/numpy/metrics.py:207-243). ``bench=None`` skips the
+    OWA columns (smape/mase only)."""
     joined = truth.join(forecasts, ["doc_id", "pos"], "left").join(
         scale_df, "doc_id"
     )
@@ -112,6 +113,8 @@ def evaluate_with_owa(
             )
         )
     per_series = joined.groupBy("doc_id").agg(*aggs)
+    if bench is None:
+        return per_series
     bench_p = bench.removesuffix("_forec")
     for mc in model_cols:
         p = mc.removesuffix("_forec")

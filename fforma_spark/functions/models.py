@@ -39,6 +39,7 @@ MODELS = [
     "ses",
     "croston",
     "croston_sba",
+    "croston_opt",
     "tsb",
     "adida",
     "imapa",
@@ -71,6 +72,7 @@ def forecast_series(
         "ses_forec": np.full(h, ses_fc),
         "croston_forec": K.croston(y, h, "classic"),
         "croston_sba_forec": K.croston(y, h, "sba"),
+        "croston_opt_forec": K.croston(y, h, "optimized"),
         "tsb_forec": K.tsb(y, h),
         "adida_forec": K.adida(y, h),
         "imapa_forec": K.imapa(y, h),
@@ -170,8 +172,13 @@ def train_split(seq_df: DataFrame, h_by_prefix: dict[str, int] | None = None,
         .filter(F.col("n_tok") > F.col("_h"))
         .select(
             "doc_id",
+            # greatest(...,0) keeps the slice total: Generate/explode
+            # downstream can collapse this projection past the filter
+            # and evaluate it on pre-filter rows (observed on 4.1)
             F.slice(
-                F.col("tokens"), F.lit(1), F.col("n_tok") - F.col("_h")
+                F.col("tokens"),
+                F.lit(1),
+                F.greatest(F.col("n_tok") - F.col("_h"), F.lit(0)),
             ).alias("tokens"),
             (F.col("n_tok") - F.col("_h")).cast("int").alias("n_tok"),
             "source",

@@ -129,15 +129,33 @@ def minhash_signatures_sql() -> str:
 # ---------------------------------------------------------------------------
 
 
-def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
-    """Distinct (doc_a < doc_b) pairs sharing any minhash band."""
+def lsh_candidate_pairs(sigs: DataFrame, r: int = 1) -> DataFrame:
+    """Distinct (doc_a < doc_b) pairs sharing any minhash band.
+
+    ``r`` = rows per band (b = P // r bands). r=1 is max-recall /
+    min-precision; on a dup-heavy 100 TB corpus candidate volume
+    explodes and r≥2 is the precision control: a pair must match r
+    consecutive minhashes to collide, so P(candidate) = 1-(1-J^r)^b.
+    Band keys for r=2 pack two mod-MOD hashes into one int64
+    (mh_i·MOD + mh_{i+1} < 2^60), identically in the DuckDB twin.
+    """
+    assert P % r == 0, "P must be divisible by r"
+    if r == 1:
+        keys = [F.col(f"mh_{i}") for i in range(P)]
+    else:
+        keys = []
+        for band_start in range(0, P, r):
+            k = F.col(f"mh_{band_start}")
+            for j in range(1, r):
+                k = k * F.lit(MOD) + F.col(f"mh_{band_start + j}")
+            keys.append(k)
     bands = sigs.select(
         "doc_id",
         F.explode(
             F.array(
                 *[
-                    F.struct(F.lit(i).alias("band"), F.col(f"mh_{i}").alias("key"))
-                    for i in range(P)
+                    F.struct(F.lit(i).alias("band"), k.alias("key"))
+                    for i, k in enumerate(keys)
                 ]
             )
         ).alias("bk"),
@@ -158,11 +176,13 @@ def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
     )
 
 
-def minhash_neardup(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
-    """Full pipeline: signatures → LSH candidates → exact Jaccard on
-    the shingle sets → is_dup flag."""
+def minhash_neardup(
+    docs: DataFrame, threshold: float = 0.5, r: int = 1
+) -> DataFrame:
+    """Full pipeline: signatures → LSH candidates (r rows/band) →
+    exact Jaccard on the shingle sets → is_dup flag."""
     sigs = minhash_signatures(docs)
-    pairs = lsh_candidate_pairs(sigs)
+    pairs = lsh_candidate_pairs(sigs, r=r)
     sh = sigs.select("doc_id", "shingles")
     joined = (
         pairs.join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
@@ -181,13 +201,22 @@ def minhash_neardup(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     )
 
 
-def minhash_neardup_sql(threshold: float = 0.5) -> str:
+def minhash_neardup_sql(threshold: float = 0.5, r: int = 1) -> str:
+    if r == 1:
+        band_keys = [f"mh_{i}" for i in range(P)]
+    else:
+        band_keys = []
+        for band_start in range(0, P, r):
+            k = f"mh_{band_start}"
+            for j in range(1, r):
+                k = f"({k} * {MOD} + mh_{band_start + j})"
+            band_keys.append(k)
     return f"""
         WITH sigs AS ({minhash_signatures_sql()}),
         bands AS (
             {" UNION ALL ".join(
-                f"SELECT doc_id, {i} AS band, mh_{i} AS key FROM sigs"
-                for i in range(P)
+                f"SELECT doc_id, {i} AS band, {k} AS key FROM sigs"
+                for i, k in enumerate(band_keys)
             )}
         ),
         pairs AS (

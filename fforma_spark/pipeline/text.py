@@ -41,14 +41,16 @@ def _stop_count_sql(words: str, stops: list[str]) -> str:
 
 def lang_id(docs: DataFrame) -> DataFrame:
     """Heuristic language ID: argmax stopword-hit count per language,
-    'und' when no stopword hits at all. Ties resolve to the first
-    language alphabetically (deterministic)."""
+    'und' when no stopword hits at all. Ties resolve to the FIRST
+    language in iteration order below (deterministic): iterating
+    LANGS forward with strict '>' means a later language must strictly
+    beat the incumbent, so on an en/es tie 'en' wins."""
     w = words_col()
     counts = {lang: _stop_count(w, STOPWORDS[lang]) for lang in LANGS}
     best = F.lit("und")
     best_n = F.lit(0)
-    # iterate in reverse so earlier languages win ties (> not >=)
-    for lang in reversed(LANGS):
+    # forward fold with strict '>': first language wins ties
+    for lang in LANGS:
         take = counts[lang] > best_n
         best = F.when(take, F.lit(lang)).otherwise(best)
         best_n = F.when(take, counts[lang]).otherwise(best_n)
@@ -61,10 +63,10 @@ def lang_id_sql() -> str:
     w = words_sql()
     hits = {lang: _stop_count_sql(w, STOPWORDS[lang]) for lang in LANGS}
     cols = ", ".join(f"{hits[lang]} AS hits_{lang}" for lang in LANGS)
-    # same reverse-fold as the Spark side
+    # same forward fold as the Spark side (first language wins ties)
     best = "'und'"
     best_n = "0"
-    for lang in reversed(LANGS):
+    for lang in LANGS:
         best = f"CASE WHEN hits_{lang} > {best_n} THEN '{lang}' ELSE {best} END"
         best_n = f"CASE WHEN hits_{lang} > {best_n} THEN hits_{lang} ELSE {best_n} END"
     return f"""

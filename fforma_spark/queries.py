@@ -29,7 +29,12 @@ from fforma_spark.sources.tables import (
     sequences_from_documents,
 )
 
-from fforma_spark.util import sql_round6, stable_round6  # noqa: E402
+from fforma_spark.util import (  # noqa: E402
+    exact_quantile,
+    exact_quantile_sql,
+    sql_round6,
+    stable_round6,
+)
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
@@ -431,49 +436,54 @@ def topk_series_by_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     "outlier_iqr_mask",
     f"""
     WITH panel AS ({PANEL_FROM_EVENTS_SQL}),
-    q AS (
-        SELECT doc_id,
-               CAST(quantile_cont(val, 0.25) AS DOUBLE) AS q1,
-               CAST(quantile_cont(val, 0.75) AS DOUBLE) AS q3
+    s AS (
+        SELECT doc_id, list_sort(list(val)) AS arr, count(*) AS n
         FROM panel GROUP BY doc_id
+    ),
+    q AS (
+        SELECT doc_id, n, arr,
+               {exact_quantile_sql('arr', 'n', 0.25)} AS q1,
+               {exact_quantile_sql('arr', 'n', 0.75)} AS q3
+        FROM s
     )
-    SELECT p.doc_id,
-           count(*) AS n,
-           sum(CASE WHEN p.val < q.q1 - 1.5 * (q.q3 - q.q1)
-                      OR p.val > q.q3 + 1.5 * (q.q3 - q.q1)
-               THEN 1 ELSE 0 END) AS n_outliers,
-           floor((q.q1) * 1000000.0 + 0.5) / 1000000.0 AS q1, floor((q.q3) * 1000000.0 + 0.5) / 1000000.0 AS q3
-    FROM panel p JOIN q USING (doc_id)
-    GROUP BY p.doc_id, q.q1, q.q3
+    SELECT doc_id, n,
+           CAST(len(list_filter(arr,
+                v -> v < q1 - 1.5 * (q3 - q1)
+                  OR v > q3 + 1.5 * (q3 - q1))) AS BIGINT) AS n_outliers,
+           {sql_round6('q1')} AS q1, {sql_round6('q3')} AS q3
+    FROM q
     """,
 )
 def outlier_iqr_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IQR outlier detection per series (fforma/experiments/datasets/
-    business.py:16-40): exact quartiles (percentile == numpy linear
-    interpolation) + fence counts."""
+    business.py:16-40): exact quartiles via sort_array + ONE shared
+    lerp formula (util.exact_quantile) + fence counts.
+
+    One shuffle total: quartiles AND fence counts both come from the
+    per-doc sorted array — no join back to the panel."""
     panel = panel_from_events(spark, sf_dir)
-    q = panel.groupBy("doc_id").agg(
-        F.expr("percentile(val, 0.25)").alias("q1"),
-        F.expr("percentile(val, 0.75)").alias("q3"),
+    s = panel.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("val")).alias("arr"),
+        F.count("*").alias("n"),
     )
-    iqr = F.col("q3") - F.col("q1")
-    out = (
-        panel.join(q, "doc_id")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n"),
-            F.sum(
-                F.when(
-                    (F.col("val") < F.col("q1") - 1.5 * iqr)
-                    | (F.col("val") > F.col("q3") + 1.5 * iqr),
-                    1,
-                ).otherwise(0)
-            ).alias("n_outliers"),
-            stable_round6(F.first("q1")).alias("q1"),
-            stable_round6(F.first("q3")).alias("q3"),
-        )
+    q = s.select(
+        "doc_id",
+        "n",
+        "arr",
+        exact_quantile(F.col("arr"), F.col("n"), 0.25).alias("q1"),
+        exact_quantile(F.col("arr"), F.col("n"), 0.75).alias("q3"),
     )
-    return out
+    lim_lo = F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))
+    lim_hi = F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))
+    return q.select(
+        "doc_id",
+        "n",
+        F.size(F.filter("arr", lambda v: (v < lim_lo) | (v > lim_hi)))
+        .cast("long")
+        .alias("n_outliers"),
+        stable_round6("q1").alias("q1"),
+        stable_round6("q3").alias("q3"),
+    )
 
 
 @register(
@@ -811,6 +821,155 @@ def owa_eval_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Kernel-path forecasts ORACLED (closed-form subset): the same
+# mapInPandas kernel fabric as base_forecasts_documents, but doc_ids
+# are prefix-tagged Q/D so the per-prefix horizon (Q→8, D→14) and
+# seasonality (Q→4, D→7) dispatch is non-degenerate, and only the
+# 4 SQL-expressible models are selected — giving the driver a DuckDB
+# value-hash oracle over the kernel path itself.
+# ---------------------------------------------------------------------------
+
+_TAGGED_SEQ_SQL = f"""
+    SELECT (CASE WHEN CAST(doc_id AS INT) % 2 = 0 THEN 'Q' ELSE 'D' END
+            || doc_id) AS doc_id,
+           tokens, n_tok,
+           CASE WHEN CAST(doc_id AS INT) % 2 = 0 THEN 8 ELSE 14 END AS h,
+           CASE WHEN CAST(doc_id AS INT) % 2 = 0 THEN 4 ELSE 7 END AS s
+    FROM ({SEQUENCES_FROM_DOCUMENTS_SQL}) seqs
+"""
+
+# train split + per-doc closed-form scalars, shared by both oracles
+_TAGGED_TRAIN_SQL = f"""
+    SELECT doc_id, h, s,
+           list_slice(tokens, 1, n_tok - h) AS train,
+           n_tok - h AS n_train,
+           tokens, n_tok
+    FROM ({_TAGGED_SEQ_SQL}) tg
+    WHERE n_tok > h
+"""
+
+_TAGGED_FC_SQL = f"""
+    WITH t AS ({_TAGGED_TRAIN_SQL}),
+    a AS (
+        SELECT doc_id, h, s, n_train, train, tokens, n_tok,
+               CAST(train[n_train] AS DOUBLE) AS last_v,
+               CAST(train[1] AS DOUBLE) AS first_v,
+               CAST(list_sum(train) AS DOUBLE) / n_train AS avg_f
+        FROM t
+    )
+    SELECT doc_id, h, s, n_train, train, tokens, n_tok,
+           last_v, first_v, avg_f,
+           CAST(unnest(generate_series(0, h - 1)) AS BIGINT) AS pos
+    FROM a
+"""
+
+
+def _tagged_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    seq = sequences_from_documents(spark, sf_dir)
+    return seq.withColumn(
+        "doc_id",
+        F.concat(
+            F.when(F.pmod(F.col("doc_id").cast("int"), F.lit(2)) == 0, "Q")
+            .otherwise("D"),
+            F.col("doc_id"),
+        ),
+    )
+
+
+@register(
+    "base_forecasts_closed_form",
+    f"""
+    SELECT doc_id, pos,
+           {sql_round6('last_v')} AS naive_forec,
+           {sql_round6('CAST(train[n_train - LEAST(s, n_train) + (pos % LEAST(s, n_train)) + 1] AS DOUBLE)')} AS snaive_forec,
+           {sql_round6('CASE WHEN n_train > 1 THEN last_v + (last_v - first_v) / (n_train - 1) * (pos + 1) ELSE last_v END')} AS rw_drift_forec,
+           {sql_round6('avg_f')} AS average_forec
+    FROM ({_TAGGED_FC_SQL}) fc
+    """,
+)
+def base_forecasts_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The closed-form subset (naive/snaive/rw_drift/average;
+    fforma/base/_models.py:224-419) of the REAL mapInPandas kernel
+    output, value-hash-oracled: proves the Arrow kernel fabric (split,
+    per-prefix horizon+seasonality dispatch, forecast panel assembly)
+    end-to-end against SQL, not just the numpy functions in pytest."""
+    from fforma_spark.functions.models import base_forecasts
+
+    fc = base_forecasts(_tagged_sequences(spark, sf_dir), default_h=8)
+    return fc.select(
+        "doc_id",
+        "pos",
+        *[
+            stable_round6(c).alias(c)
+            for c in ("naive_forec", "snaive_forec", "rw_drift_forec",
+                      "average_forec")
+        ],
+    )
+
+
+@register(
+    "eval_closed_form_documents",
+    f"""
+    WITH fc AS ({_TAGGED_FC_SQL}),
+    r AS (
+        SELECT doc_id, pos,
+               CAST(tokens[n_tok - h + pos + 1] AS DOUBLE) AS y,
+               last_v AS naive_f,
+               CAST(train[n_train - LEAST(s, n_train) + (pos % LEAST(s, n_train)) + 1] AS DOUBLE) AS snaive_f,
+               CASE WHEN n_train > 1
+                    THEN last_v + (last_v - first_v) / (n_train - 1) * (pos + 1)
+                    ELSE last_v END AS rw_drift_f,
+               avg_f AS average_f,
+               list_aggregate(
+                   list_transform(generate_series(s + 1, n_train),
+                       i -> abs(CAST(train[i] AS DOUBLE)
+                                - CAST(train[i - s] AS DOUBLE))),
+                   'avg') AS mase_scale
+        FROM fc
+        WHERE n_train > s  -- Spark's mase_scale inner join drops
+                           -- docs with no lag-s in-sample pairs
+    )
+    SELECT doc_id,
+           {sql_round6("200 * avg(CASE WHEN abs(y) + abs(naive_f) <> 0 THEN abs(y - naive_f) / (abs(y) + abs(naive_f)) END)")} AS naive_smape,
+           {sql_round6("CASE WHEN any_value(mase_scale) <> 0 THEN 100 * avg(abs(y - naive_f)) / any_value(mase_scale) END")} AS naive_mase,
+           {sql_round6("200 * avg(CASE WHEN abs(y) + abs(snaive_f) <> 0 THEN abs(y - snaive_f) / (abs(y) + abs(snaive_f)) END)")} AS snaive_smape,
+           {sql_round6("CASE WHEN any_value(mase_scale) <> 0 THEN 100 * avg(abs(y - snaive_f)) / any_value(mase_scale) END")} AS snaive_mase,
+           {sql_round6("200 * avg(CASE WHEN abs(y) + abs(rw_drift_f) <> 0 THEN abs(y - rw_drift_f) / (abs(y) + abs(rw_drift_f)) END)")} AS rw_drift_smape,
+           {sql_round6("CASE WHEN any_value(mase_scale) <> 0 THEN 100 * avg(abs(y - rw_drift_f)) / any_value(mase_scale) END")} AS rw_drift_mase,
+           {sql_round6("200 * avg(CASE WHEN abs(y) + abs(average_f) <> 0 THEN abs(y - average_f) / (abs(y) + abs(average_f)) END)")} AS average_smape,
+           {sql_round6("CASE WHEN any_value(mase_scale) <> 0 THEN 100 * avg(abs(y - average_f)) / any_value(mase_scale) END")} AS average_mase
+    FROM r GROUP BY doc_id
+    """,
+)
+def eval_closed_form_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series smape + mase for the closed-form kernel forecasts
+    over the tagged documents corpus — the SQL-oracled twin of the
+    owa_eval contribution-to-error path (fforma/metrics/numpy/
+    metrics.py:117-180), per-prefix seasonality in the MASE scale."""
+    from fforma_spark.functions.metrics import evaluate_with_owa, mase_scale
+    from fforma_spark.functions.models import (
+        base_forecasts,
+        holdout_truth,
+        train_split,
+    )
+
+    seq = _tagged_sequences(spark, sf_dir)
+    cols = ["naive_forec", "snaive_forec", "rw_drift_forec", "average_forec"]
+    fc = base_forecasts(seq, default_h=8).select("doc_id", "pos", *cols)
+    truth = holdout_truth(seq, default_h=8)
+    train_panel = explode_panel(train_split(seq, default_h=8)).select(
+        "doc_id", "pos", "val"
+    )
+    s_expr = F.when(F.substring("doc_id", 1, 1) == "Q", 4).otherwise(7)
+    scale = mase_scale(train_panel, s_expr)
+    out = evaluate_with_owa(truth, fc, cols, scale, bench=None)
+    return out.select(
+        "doc_id",
+        *[stable_round6(c).alias(c) for c in out.columns if c != "doc_id"],
+    )
+
+
+# ---------------------------------------------------------------------------
 # Quantile-loss metrics (SURVEY §2.4: pinball metrics.py:245-270,
 # rmsse :182-205) over the closed-form forecast panel
 # ---------------------------------------------------------------------------
@@ -1125,6 +1284,117 @@ def quantile_forecasts_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return src.mapInPandas(
         gen, "doc_id string, pos long, q10 double, q50 double, q90 double"
     )
+
+
+_EBT_CUTS = [30, 36, 42, 48, 54, 60]
+_EBT_H, _EBT_S = 6, 7
+
+from fforma_spark.plans.backtest import (  # noqa: E402
+    ensemble_backtest,
+    ensemble_backtest_sql,
+)
+
+
+@register(
+    "ensemble_backtest_events",
+    ensemble_backtest_sql(PANEL_FROM_EVENTS_SQL, _EBT_CUTS, _EBT_H, _EBT_S),
+)
+def ensemble_backtest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production t−1/t rolling ensemble backtest (fforma/experiments/
+    business/ensemble_forecasts.py:64-158): softmin weights fitted on
+    each cutoff's validation errors ensemble the NEXT cutoff's
+    forecasts; 5 test cutoffs, one Catalyst plan (cutoffs = broadcast
+    dim, never a driver loop)."""
+    panel = panel_from_events(spark, sf_dir)
+    return ensemble_backtest(panel, _EBT_CUTS, _EBT_H, _EBT_S)
+
+
+@register("quantile_forecasts_adf_documents")  # rows-only: ADF+IRLS not SQL
+def quantile_forecasts_adf_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile AR with the reference's ADF-differencing branch enabled
+    (fforma/base/_quantile_models.py:140-151, 210-214): per doc, the
+    series is differenced until the from-scratch ADF test says
+    stationary (max 10), the τ=0.5 AR fit runs on the differenced
+    series, and the forecast is undifferenced by cumsum. Also returns
+    the differencing depth chosen per doc."""
+    import numpy as np
+    import pandas as pd
+
+    from fforma_spark.functions.quantile import (
+        difference_until_stationary,
+        quantile_ar_forecast,
+    )
+    from fforma_spark.util import ensure_parallelism
+
+    h = 8
+
+    def gen(it):
+        cols = ["doc_id", "pos", "q50_adf", "n_diffs"]
+        for pdf in it:
+            frames = []
+            for doc_id, tokens in zip(pdf["doc_id"], pdf["tokens"]):
+                y = np.asarray(tokens, dtype=np.float64)
+                if len(y) <= h + 3:
+                    continue
+                train = y[:-h]
+                _, d = difference_until_stationary(train, 10)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "doc_id": doc_id,
+                            "pos": np.arange(h, dtype=np.int64),
+                            "q50_adf": quantile_ar_forecast(
+                                train, h, 0.5, max_diffs=10
+                            ),
+                            "n_diffs": np.int64(d),
+                        }
+                    )
+                )
+            yield (
+                pd.concat(frames, ignore_index=True)[cols]
+                if frames
+                else pd.DataFrame(columns=cols)
+            )
+
+    seq = sequences_from_documents(spark, sf_dir)
+    src = ensure_parallelism(seq.select("doc_id", "tokens"))
+    return src.mapInPandas(
+        gen, "doc_id string, pos long, q50_adf double, n_diffs long"
+    )
+
+
+@register("fqra_ensemble_documents")  # rows-only: PCA+IRLS not SQL
+def fqra_ensemble_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Factor Quantile Regression Averaging ensemble
+    (fforma/meta_learner/_regression_averaging.py:9-56 over
+    fforma/base/_models.py:475-498): per series, PCA the validation
+    base-forecast matrix, quantile-regress actuals on the factors,
+    ensemble the test forecasts. One mapInPandas pass."""
+    from fforma_spark.functions.regression_averaging import (
+        regression_averaging_forecasts,
+    )
+
+    seq = sequences_from_documents(spark, sf_dir)
+    out = regression_averaging_forecasts(
+        seq, method="fqra", tau=0.5, n_components=2
+    )
+    return out.withColumn("y_hat", stable_round6("y_hat"))
+
+
+@register("lqra_ensemble_documents")  # rows-only: lasso pinball not SQL
+def lqra_ensemble_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lasso Quantile Regression Averaging ensemble
+    (fforma/meta_learner/_regression_averaging.py:58-105 over
+    fforma/base/_models.py:500-554): per series, pinball + L1-to-
+    equal-weights fit on validation forecasts, applied at the test
+    cutoff."""
+    from fforma_spark.functions.regression_averaging import (
+        regression_averaging_forecasts,
+    )
+
+    seq = sequences_from_documents(spark, sf_dir)
+    out = regression_averaging_forecasts(seq, method="lqra", tau=0.5, lambd=1.0)
+    return out.withColumn("y_hat", stable_round6("y_hat"))
 
 
 @register("fforma_ensemble_documents")  # rows-only: GBT training is not SQL

@@ -41,6 +41,34 @@ def sql_round(expr: str, digits: int) -> str:
     return f"(floor(({expr}) * {scale} + 0.5) / {scale})"
 
 
+def exact_quantile(arr: Column, n: Column, q: float) -> Column:
+    """Exact linear-interpolated quantile from a SORTED array column.
+
+    ``idx = (n-1)*q``; ``lo = arr[floor(idx)]``; ``hi = arr[min(floor(
+    idx)+1, n-1)]``; result ``lo + (hi-lo)*frac``. This is numpy's
+    'linear' method written as ONE lerp expression shared bit-for-bit
+    with the DuckDB twin (:func:`exact_quantile_sql`) — Spark's
+    ``percentile`` and DuckDB's ``quantile_cont`` use differently
+    shaped FP expressions and can land on opposite sides of the 6dp
+    rounding boundary (round-1 red CORRECTNESS row).
+    """
+    idx = (n.cast("double") - F.lit(1.0)) * F.lit(q)
+    lo_i = F.floor(idx).cast("int")
+    frac = idx - lo_i.cast("double")
+    lo = F.element_at(arr, lo_i + F.lit(1))
+    hi = F.element_at(arr, F.least(lo_i + F.lit(2), n.cast("int")))
+    return lo + (hi - lo) * frac
+
+
+def exact_quantile_sql(arr: str, n: str, q: float) -> str:
+    """DuckDB twin of :func:`exact_quantile` (1-based list indexing)."""
+    idx = f"(CAST(({n}) - 1 AS DOUBLE) * {q})"
+    lo_i = f"CAST(floor({idx}) AS INT)"
+    lo = f"({arr})[{lo_i} + 1]"
+    hi = f"({arr})[LEAST({lo_i} + 2, CAST({n} AS INT))]"
+    return f"({lo} + ({hi} - {lo}) * ({idx} - floor({idx})))"
+
+
 def ensure_parallelism(df, min_parts: int | None = None):
     """Repartition up when the scan produced too few splits.
 

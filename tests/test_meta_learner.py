@@ -60,6 +60,61 @@ def test_fforma_loss_close_to_oracle_best():
     assert final < err.mean(1).mean()  # beats uniform averaging
 
 
+def test_sampled_training_agrees_with_full():
+    """The train_row_budget cap trains on a stratified sample; the
+    learned weight function must agree with full-data training (the
+    scale-safety contract for fit_fforma_spark's capped collect)."""
+    X, err, cond = _synth_problem(n=2000, seed=7)
+    rng = np.random.RandomState(11)
+    keep = rng.rand(len(X)) < 0.5
+    full = NumpyFFORMA(n_rounds=25, max_depth=3).fit(X, err)
+    samp = NumpyFFORMA(n_rounds=25, max_depth=3).fit(X[keep], err[keep])
+    wf = full.predict_weights(X)
+    ws = samp.predict_weights(X)
+    assert np.abs(wf - ws).mean() < 0.1
+    # both route the majority weight to the regime-correct model
+    assert ((ws[:, 0] > 0.5) == cond).mean() > 0.9
+
+
+def test_fit_fforma_spark_budget_cap(spark):
+    """fit_fforma_spark with a budget below the corpus size still
+    trains (on the seeded stratified sample) and keeps valid models."""
+    from fforma_spark.functions.meta_learner import fit_fforma_spark
+    from fforma_spark.functions.metrics import evaluate_with_owa, mase_scale
+    from fforma_spark.functions.models import (
+        FORECAST_COLS,
+        base_forecasts,
+        holdout_truth,
+        train_split,
+    )
+    from fforma_spark.functions.features import features_wide
+    from fforma_spark.operators.reshape import explode_panel
+    from fforma_spark.sources.tables import sequences_from_documents
+    from pyspark.sql import functions as F
+
+    seq = sequences_from_documents(spark, "/root/testdata/sf0.001")
+    fc = base_forecasts(seq, default_h=8)
+    truth = holdout_truth(seq, default_h=8)
+    train_panel = explode_panel(train_split(seq, default_h=8)).select(
+        "doc_id", "pos", "val"
+    )
+    ev = evaluate_with_owa(
+        truth, fc, FORECAST_COLS, mase_scale(train_panel, F.lit(1))
+    )
+    owa_cols = [c for c in ev.columns if c.endswith("_owa")]
+    feats = features_wide(seq)
+    model, kept, fcols = fit_fforma_spark(
+        feats,
+        ev.select("doc_id", *owa_cols).na.fill(0.0),
+        owa_cols,
+        benchmark="naive2_owa",
+        train_row_budget=40,
+        n_rounds=5,
+    )
+    assert len(kept) >= 1
+    assert model.loss_curve_[-1] <= model.loss_curve_[0] + 1e-9
+
+
 def test_end_to_end_spark_rollup(spark):
     from fforma_spark.queries import QUERIES
 
