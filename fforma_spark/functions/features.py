@@ -39,24 +39,63 @@ def _feature_batches(
 ) -> Iterator[pd.DataFrame]:
     for pdf in it:
         recs = []
-        for doc_id, tokens in zip(pdf["doc_id"], pdf["tokens"]):
+        n_true = pdf["n_true"] if "n_true" in pdf.columns else pdf["doc_id"]
+        has_true = "n_true" in pdf.columns
+        for i, (doc_id, tokens) in enumerate(zip(pdf["doc_id"], pdf["tokens"])):
             s = SEASONALITY_BY_PREFIX.get(str(doc_id)[:1], default_seasonality)
             x = np.asarray(tokens, dtype=np.float64)
             fv = feature_vector(x, s) if len(x) else dict.fromkeys(FEATURE_NAMES, 0.0)
+            if has_true:  # whale cap active: report the TRUE length
+                fv["series_length"] = float(n_true.iloc[i])
             fv["doc_id"] = doc_id
             recs.append(fv)
         yield pd.DataFrame(recs, columns=["doc_id", *FEATURE_NAMES])
 
 
-def features_wide(seq_df: DataFrame, default_seasonality: int = 1) -> DataFrame:
+def features_wide(
+    seq_df: DataFrame,
+    default_seasonality: int = 1,
+    max_series_len: int | None = None,
+) -> DataFrame:
     """All T0 features from the wide sequences table — shuffle-free
     (the repartition only fires when the scan yielded fewer splits
-    than cores; no-op on real multi-file inputs)."""
+    than cores; no-op on real multi-file inputs).
+
+    ``max_series_len`` arms whale protection (plans/skew.py): docs
+    longer than the cap enter the Python kernels as their trailing
+    window (bounded per-task cost), with series_length and the
+    associative moments (mean/variance/nonzero_ratio) replaced by
+    EXACT full-array values computed JVM-side. Docs ≤ cap are
+    bit-identical to the uncapped path.
+    """
     from fforma_spark.util import ensure_parallelism
 
     gen = lambda it: _feature_batches(it, default_seasonality)  # noqa: E731
-    src = ensure_parallelism(seq_df.select("doc_id", "tokens"))
-    return src.mapInPandas(gen, FEATURES_SCHEMA)
+    if max_series_len is None:
+        src = ensure_parallelism(seq_df.select("doc_id", "tokens"))
+        return src.mapInPandas(gen, FEATURES_SCHEMA)
+
+    from fforma_spark.plans.skew import cap_whales, whale_exact_moments
+
+    capped = cap_whales(
+        seq_df.select("doc_id", "tokens", "n_tok"), max_series_len
+    )
+    src = ensure_parallelism(capped.select("doc_id", "tokens", "n_true"))
+    feats = src.mapInPandas(
+        gen, "doc_id string, " + ", ".join(f"{n} double" for n in FEATURE_NAMES)
+    )
+    whales = seq_df.filter(F.col("n_tok") > max_series_len)
+    moments = whale_exact_moments(
+        whales.select("doc_id", "tokens", "n_tok")
+    )
+    out = feats.join(F.broadcast(moments), "doc_id", "left")
+    for col, wcol in (
+        ("mean", "w_mean"),
+        ("variance", "w_variance"),
+        ("nonzero_ratio", "w_nonzero_ratio"),
+    ):
+        out = out.withColumn(col, F.coalesce(F.col(wcol), F.col(col)))
+    return out.select("doc_id", *FEATURE_NAMES)
 
 
 def features_sql(panel: DataFrame) -> DataFrame:

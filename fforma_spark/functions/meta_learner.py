@@ -191,6 +191,50 @@ class NumpyFFORMA:
 # ---------------------------------------------------------------------------
 
 
+def collect_training_matrix(
+    features_df,
+    errors_df,
+    loss_cols: list[str],
+    benchmark: str,
+    feature_cols: list[str] | None = None,
+    train_row_budget: int | None = 2_000_000,
+    sample_seed: int = 2024,
+):
+    """Budget-capped collect of the per-series (features ⋈ errors)
+    matrix (see fit_fforma_spark for the scale contract).
+
+    Returns (X, err, kept_models, feature_cols, doc_ids) with
+    benchmark-relative errors and loser pruning already applied.
+    """
+    from pyspark.sql import functions as SF
+
+    joined = features_df.join(errors_df, "doc_id")
+    if train_row_budget is not None:
+        n_total = joined.count()
+        if n_total > train_row_budget:
+            frac = train_row_budget / n_total
+            joined = joined.withColumn("_pfx", SF.substring("doc_id", 1, 1))
+            prefixes = [
+                r[0] for r in joined.select("_pfx").distinct().collect()
+            ]
+            joined = joined.sampleBy(
+                "_pfx", {p: frac for p in prefixes}, seed=sample_seed
+            ).drop("_pfx")
+    pdf = joined.orderBy("doc_id").toPandas()
+    if feature_cols is None:
+        feature_cols = [c for c in features_df.columns if c != "doc_id"]
+    models = [c for c in loss_cols if c != benchmark]
+    err = pdf[models].to_numpy(dtype=np.float64)
+    bench = pdf[benchmark].to_numpy(dtype=np.float64)
+    err = err / (bench[:, None] + 1e-3)
+    winners = set(np.unique(err.argmin(axis=1)))
+    kept = [m for i, m in enumerate(models) if i in winners]
+    err = err[:, [i for i in range(len(models)) if i in winners]]
+    X = pdf[feature_cols].to_numpy(dtype=np.float64)
+    X = np.nan_to_num(X, nan=0.0, posinf=0.0, neginf=0.0)
+    return X, err, kept, feature_cols, pdf["doc_id"].to_numpy()
+
+
 def fit_fforma_spark(
     features_df,
     errors_df,
@@ -216,32 +260,15 @@ def fit_fforma_spark(
     Returns (model, kept_models, feature_cols). Benchmark-relative
     scaling and loser pruning per _XGBoost.py:98-116.
     """
-    import pandas as pd  # noqa: F401
-    from pyspark.sql import functions as SF
-
-    joined = features_df.join(errors_df, "doc_id")
-    if train_row_budget is not None:
-        n_total = joined.count()
-        if n_total > train_row_budget:
-            frac = train_row_budget / n_total
-            joined = joined.withColumn("_pfx", SF.substring("doc_id", 1, 1))
-            prefixes = [r[0] for r in joined.select("_pfx").distinct().collect()]
-            joined = joined.sampleBy(
-                "_pfx", {p: frac for p in prefixes}, seed=sample_seed
-            ).drop("_pfx")
-    pdf = joined.orderBy("doc_id").toPandas()
-    if feature_cols is None:
-        feature_cols = [c for c in features_df.columns if c != "doc_id"]
-    models = [c for c in loss_cols if c != benchmark]
-    err = pdf[models].to_numpy(dtype=np.float64)
-    bench = pdf[benchmark].to_numpy(dtype=np.float64)
-    err = err / (bench[:, None] + 1e-3)
-    # loser pruning: models never argmin
-    winners = set(np.unique(err.argmin(axis=1)))
-    kept = [m for i, m in enumerate(models) if i in winners]
-    err = err[:, [i for i in range(len(models)) if i in winners]]
-    X = pdf[feature_cols].to_numpy(dtype=np.float64)
-    X = np.nan_to_num(X, nan=0.0, posinf=0.0, neginf=0.0)
+    X, err, kept, feature_cols, _ = collect_training_matrix(
+        features_df,
+        errors_df,
+        loss_cols,
+        benchmark,
+        feature_cols,
+        train_row_budget,
+        sample_seed,
+    )
     model = NumpyFFORMA(**params).fit(X, err)
     return model, kept, feature_cols
 

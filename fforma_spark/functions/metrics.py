@@ -130,3 +130,24 @@ def evaluate_with_owa(
             / 2,
         )
     return per_series
+
+
+def evaluate_models_per_obs(
+    truth: DataFrame, forecasts: DataFrame, model_cols: list[str]
+) -> DataFrame:
+    """POOLED evaluation: one row, metric over ALL concatenated
+    observations — not per-series-then-mean
+    (fforma/utils/utils.py:257-294 evaluate_panel_per_obs /
+    evaluate_models_per_obs). One global aggregate per model column;
+    Catalyst collapses it to a single partial-agg + 1-row final."""
+    joined = truth.join(forecasts, ["doc_id", "pos"], "left")
+    aggs = []
+    for mc in model_cols:
+        p = mc.removesuffix("_forec")
+        e = F.abs(_err(mc))
+        sc = F.abs(F.col("y")) + F.abs(F.col(mc))
+        aggs.append(
+            (200 * F.avg(F.when(sc != 0, e / sc))).alias(f"{p}_smape")
+        )
+        aggs.append(F.avg(e).alias(f"{p}_mae"))
+    return joined.agg(*aggs)

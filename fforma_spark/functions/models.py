@@ -123,12 +123,24 @@ def base_forecasts(
     seq_df: DataFrame,
     h_by_prefix: dict[str, int] | None = None,
     default_h: int = 8,
+    max_series_len: int | None = None,
 ) -> DataFrame:
-    """Prediction panel for every model over every (long-enough) doc."""
+    """Prediction panel for every model over every (long-enough) doc.
+
+    ``max_series_len`` arms whale protection: whale docs enter the
+    kernels as their trailing window (plans/skew.cap_whales) — the
+    sequential models are tail-dominated, the per-task cost bound is
+    what matters at 100 TB, and docs ≤ cap are bit-identical."""
     from fforma_spark.util import ensure_parallelism
 
     hmap = HORIZON_BY_PREFIX if h_by_prefix is None else h_by_prefix
     gen = lambda it: _forecast_batches(it, hmap, default_h)  # noqa: E731
+    if max_series_len is not None:
+        from fforma_spark.plans.skew import cap_whales
+
+        seq_df = cap_whales(
+            seq_df.select("doc_id", "tokens", "n_tok"), max_series_len
+        )
     src = ensure_parallelism(seq_df.select("doc_id", "tokens"))
     return src.mapInPandas(gen, FORECASTS_SCHEMA)
 

@@ -45,3 +45,47 @@ def collect_series(panel: DataFrame, value_type: str = "double") -> DataFrame:
         ).alias("vals"),
         F.count("*").cast("int").alias("n"),
     )
+
+
+def train_to_horizontal(
+    x_panel: DataFrame, y_panel: DataFrame
+) -> DataFrame:
+    """Zip two long panels into per-doc aligned arrays with the
+    reference's length assert (fforma/utils/reshaping.py:42-59
+    train_to_horizontal): X and y are collected wide per doc_id, outer-
+    merged, and every row must carry equally long arrays — enforced in
+    the PLAN with assert_true so a misaligned panel fails the job the
+    same way the pandas assert does.
+
+    Output: (doc_id, X array, y array, n).
+    """
+    xw = collect_series(x_panel).select(
+        "doc_id", F.col("vals").alias("X"), F.col("n").alias("n_x")
+    )
+    yw = collect_series(y_panel).select(
+        "doc_id", F.col("vals").alias("y"), F.col("n").alias("n_y")
+    )
+    j = xw.join(yw, "doc_id", "outer")
+    ok = F.assert_true(
+        F.col("n_x") == F.col("n_y"), F.lit("ds_x and ds_y not corresponding")
+    )
+    return j.select(
+        "doc_id",
+        F.when(ok.isNull(), F.col("X")).otherwise(F.col("X")).alias("X"),
+        "y",
+        F.col("n_x").alias("n"),
+    )
+
+
+def seasonal_onehot(df: DataFrame, prefixes: list[str]) -> DataFrame:
+    """One-hot seasonal-period dummy from the id's first character
+    (fforma/experiments/experiment.py:420 pd.get_dummies of
+    unique_id.str[0]) — pure projection."""
+    first = F.substring("doc_id", 1, 1)
+    return df.select(
+        "doc_id",
+        *[
+            F.when(first == p, 1).otherwise(0).cast("int").alias(f"sp_{p}")
+            for p in prefixes
+        ],
+    )

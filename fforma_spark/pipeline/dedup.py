@@ -300,6 +300,173 @@ def simhash_collisions_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# 64-bit SimHash in 4×16-bit chunks + Hamming-distance banding
+# (the scale upgrade over the 16-bit signature: 2^16 buckets give
+# ~N²/65536 candidate pairs at 10^9 docs; 64 bits in 4 chunks gives
+# Hamming-≤3 search with 4 equi-joins — pigeonhole: any pair within
+# distance 3 matches at least one chunk exactly)
+# ---------------------------------------------------------------------------
+
+SIMHASH64_CHUNKS = 4
+CHUNK_BITS = 16
+
+
+def _word_hashes(salt: str) -> Column:
+    return F.transform(words_col(), lambda w: h64(F.concat(F.lit(salt), w)))
+
+
+def _word_hashes_sql(salt: str) -> str:
+    inner = h64_sql(f"concat('{salt}', w)")
+    return f"list_transform({words_sql()}, w -> {inner})"
+
+
+def _chunk_sig(wh: Column, n: Column) -> Column:
+    """16-bit frequency-majority signature from one word-hash list."""
+    sig = F.lit(0).cast("long")
+    for b in range(CHUNK_BITS):
+        mask = 1 << b
+        cnt = F.size(F.filter(wh, lambda h: h.bitwiseAND(F.lit(mask)) != 0))
+        sig = sig + F.when(cnt * 2 >= n, F.lit(mask)).otherwise(F.lit(0))
+    return sig
+
+
+def simhash64(docs: DataFrame) -> DataFrame:
+    """(doc_id, sh_0..sh_3): a 64-bit simhash as four 16-bit chunks.
+
+    Chunks 0/1 use bits 0-15/16-31 of the unsalted 60-bit word hash;
+    chunks 2/3 the same bits of a salted second hash — 64 independent
+    bits total while every hash stays md5-derived and engine-portable.
+    """
+    wh0 = _word_hashes("")
+    wh1 = _word_hashes("s2#")
+    n = F.size(words_col())
+    chunks = []
+    for c in range(SIMHASH64_CHUNKS):
+        src = wh0 if c < 2 else wh1
+        shift = CHUNK_BITS * (c % 2)
+        # integer downshift: (h & hi_mask) >> shift done as div (both
+        # engines floor positive integer division identically via cast)
+        shifted = F.transform(
+            src,
+            lambda h: (
+                h.bitwiseAND(F.lit(((1 << CHUNK_BITS) - 1) << shift))
+                / F.lit(1 << shift)
+            ).cast("long"),
+        )
+        chunks.append(_chunk_sig(shifted, n).alias(f"sh_{c}"))
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"), *chunks
+    )
+
+
+def simhash64_sql() -> str:
+    cols = []
+    for c in range(SIMHASH64_CHUNKS):
+        src = "wh0" if c < 2 else "wh1"
+        shift = CHUNK_BITS * (c % 2)
+        hi_mask = ((1 << CHUNK_BITS) - 1) << shift
+        shifted = (
+            f"list_transform({src}, h -> CAST((h & {hi_mask}) // {1 << shift} AS BIGINT))"
+        )
+        terms = " + ".join(
+            f"CASE WHEN len(list_filter({shifted}, g -> (g & {1 << b}) <> 0)) * 2 "
+            f">= n THEN {1 << b} ELSE 0 END"
+            for b in range(CHUNK_BITS)
+        )
+        cols.append(f"CAST({terms} AS BIGINT) AS sh_{c}")
+    return f"""
+        SELECT doc_id, {", ".join(cols)}
+        FROM (
+            SELECT doc_id,
+                   {_word_hashes_sql('')} AS wh0,
+                   {_word_hashes_sql('s2#')} AS wh1,
+                   len({words_sql()}) AS n
+            FROM documents
+        ) s
+    """
+
+
+def simhash_hamming_neardup(docs: DataFrame, max_dist: int = 3) -> DataFrame:
+    """Pairs within Hamming distance ``max_dist`` of the 64-bit
+    signature. Candidates come from 4 chunk equi-joins (never
+    all-pairs); the exact distance verifies with bit_count(xor)."""
+    s = simhash64(docs)
+    chunks = s.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.col(f"sh_{c}").alias("key"),
+                    )
+                    for c in range(SIMHASH64_CHUNKS)
+                ]
+            )
+        ).alias("ck"),
+    ).select("doc_id", F.col("ck.chunk").alias("chunk"), F.col("ck.key").alias("key"))
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sa = s.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"sh_{c}").alias(f"a_{c}") for c in range(SIMHASH64_CHUNKS)],
+    )
+    sb = s.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"sh_{c}").alias(f"b_{c}") for c in range(SIMHASH64_CHUNKS)],
+    )
+    ham = F.lit(0).cast("long")
+    for c in range(SIMHASH64_CHUNKS):
+        ham = ham + F.bit_count(
+            F.col(f"a_{c}").bitwiseXOR(F.col(f"b_{c}"))
+        ).cast("long")
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_dist)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def simhash_hamming_neardup_sql(max_dist: int = 3) -> str:
+    chunk_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {c} AS chunk, sh_{c} AS key FROM s"
+        for c in range(SIMHASH64_CHUNKS)
+    )
+    ham = " + ".join(
+        f"bit_count(xor(sa.sh_{c}, sb.sh_{c}))"
+        for c in range(SIMHASH64_CHUNKS)
+    )
+    return f"""
+        WITH s AS ({simhash64_sql()}),
+        chunks AS ({chunk_rows}),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM chunks a JOIN chunks b
+              ON a.chunk = b.chunk AND a.key = b.key
+             AND a.doc_id < b.doc_id
+        )
+        SELECT c.doc_a, c.doc_b, CAST({ham} AS BIGINT) AS hamming
+        FROM cand c
+        JOIN s sa ON sa.doc_id = c.doc_a
+        JOIN s sb ON sb.doc_id = c.doc_b
+        WHERE {ham} <= {max_dist}
+    """
+
+
+# ---------------------------------------------------------------------------
 # embedding-cosine near-dup (brute-force correctness baseline)
 # ---------------------------------------------------------------------------
 

@@ -98,6 +98,16 @@ def decode_image(payload: bytes) -> np.ndarray:
     raise NotImplementedError("real decode wired only when PIL is present")
 
 
+def decode_audio(payload: bytes) -> np.ndarray:
+    """STUB — decode an audio payload to a float32 sample array (no
+    soundfile/librosa in this container; the byte-level stage below is
+    the real tested path, frame sampling included)."""
+    raise NotImplementedError(
+        "audio codec not available in this container; "
+        "deterministic byte features are used instead (extract_features)"
+    )
+
+
 def byte_features(payload: bytes) -> dict[str, float]:
     """Deterministic byte-level feature extraction (the REAL stage that
     stands in for decode→featurize): length, mean/std byte value,

@@ -88,9 +88,38 @@ def minhash_lsh_neardup(spark, sf_dir):
     return out.withColumn("jaccard", stable_round6("jaccard"))
 
 
+@register(
+    "minhash_lsh_neardup_r2",
+    f"""
+    SELECT doc_a, doc_b, {sql_round6('jaccard')} AS jaccard, is_dup
+    FROM ({D.minhash_neardup_sql(_J_THRESH, r=2)}) m
+    """,
+)
+def minhash_lsh_neardup_r2(spark, sf_dir):
+    """r=2 banding (4 bands × 2 rows): the dup-heavy-corpus precision
+    control — a candidate must match two consecutive minhashes, so
+    P(candidate) = 1−(1−J²)⁴ and candidate volume collapses vs r=1."""
+    out = D.minhash_neardup(_docs(spark, sf_dir), _J_THRESH, r=2)
+    return out.withColumn("jaccard", stable_round6("jaccard"))
+
+
 @register("simhash_documents", D.simhash_sql())
 def simhash_documents(spark, sf_dir):
     return D.simhash(_docs(spark, sf_dir))
+
+
+@register("simhash64_documents", D.simhash64_sql())
+def simhash64_documents(spark, sf_dir):
+    """64-bit simhash as 4×16-bit chunks — the ≥64-bit signature that
+    keeps bucket counts useful at 10^9+ docs."""
+    return D.simhash64(_docs(spark, sf_dir))
+
+
+@register("simhash_hamming_neardup", D.simhash_hamming_neardup_sql(3))
+def simhash_hamming_neardup(spark, sf_dir):
+    """Hamming-distance ≤3 near-dups over the 64-bit signature via
+    4 chunk equi-joins (pigeonhole-complete, never all-pairs)."""
+    return D.simhash_hamming_neardup(_docs(spark, sf_dir), max_dist=3)
 
 
 @register("simhash_collisions", D.simhash_collisions_sql())

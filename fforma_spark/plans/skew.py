@@ -118,3 +118,56 @@ def assert_max_series_length(seq_df: DataFrame, max_len: int) -> None:
             f"series exceed max_len={max_len} for sequential kernels: "
             f"{names}; chunk them (chunk_sequences) or raise the cap"
         )
+
+
+def cap_whales(seq_df: DataFrame, max_series_len: int) -> DataFrame:
+    """Bounded-window whale protection for SEQUENTIAL kernels.
+
+    Docs longer than ``max_series_len`` are sliced (pure Catalyst, no
+    UDF) to their TRAILING window before entering a pandas-UDF stage,
+    so no single Arrow batch/task is dominated by a 200k-token whale.
+    The true length rides along as ``n_true`` so length-dependent
+    features stay exact. Tail-window semantics are the honest contract
+    for the sequential kernels: naive/snaive/SES/Croston forecasts are
+    tail-dominated anyway, and any doc ≤ cap is bit-exact unchanged.
+
+    Associative stats (mean/variance/nonzero) for whales are better
+    served exactly by :func:`whale_exact_moments` (JVM array fold) —
+    the "re-merge where associative" half of the contract.
+    """
+    cap = int(max_series_len)
+    return seq_df.withColumn("n_true", F.col("n_tok")).select(
+        *[c for c in seq_df.columns if c not in ("tokens", "n_tok")],
+        "n_true",
+        F.when(
+            F.col("n_tok") > cap, F.slice(F.col("tokens"), -cap, cap)
+        )
+        .otherwise(F.col("tokens"))
+        .alias("tokens"),
+        F.least(F.col("n_tok"), F.lit(cap)).cast("int").alias("n_tok"),
+    )
+
+
+def whale_exact_moments(seq_df: DataFrame) -> DataFrame:
+    """(doc_id, w_mean, w_variance, w_nonzero_ratio) computed EXACTLY
+    from the FULL token array with JVM-side folds — O(n) per row, no
+    Python — used to overwrite the window estimates for whale docs.
+    Sample variance (ddof=1), matching kernels.feature_vector."""
+    n = F.col("n_tok").cast("double")
+    s = F.aggregate(
+        "tokens", F.lit(0.0), lambda acc, x: acc + x.cast("double")
+    )
+    s2 = F.aggregate(
+        "tokens",
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    nz = F.size(F.filter("tokens", lambda x: x != 0)).cast("double")
+    mean = s / n
+    var = F.when(n > 1, (s2 - s * s / n) / (n - 1)).otherwise(F.lit(0.0))
+    return seq_df.select(
+        "doc_id",
+        mean.alias("w_mean"),
+        var.alias("w_variance"),
+        (nz / n).alias("w_nonzero_ratio"),
+    )

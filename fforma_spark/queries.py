@@ -1286,6 +1286,120 @@ def quantile_forecasts_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "pooled_eval_events",
+    f"""
+    WITH fc AS ({_SQL_FC}),
+    panel AS ({PANEL_FROM_EVENTS_SQL}),
+    stats AS (
+        SELECT doc_id, max(pos) + 1 - {_H} AS cutoff
+        FROM panel GROUP BY doc_id HAVING max(pos) + 1 > {_H} + {_S}
+    ),
+    truth AS (
+        SELECT p.doc_id, p.pos - s.cutoff AS pos, p.val AS y
+        FROM panel p JOIN stats s USING (doc_id)
+        WHERE p.pos >= s.cutoff
+    )
+    SELECT
+    {", ".join(
+        f'''{sql_round6(f"200 * avg(CASE WHEN abs(y) + abs({m}_forec) <> 0 THEN abs(y - {m}_forec) / (abs(y) + abs({m}_forec)) END)")} AS {m}_smape,
+        {sql_round6(f"avg(abs(y - {m}_forec))")} AS {m}_mae'''
+        for m in ("naive", "snaive", "rwd", "avg")
+    )}
+    FROM truth t JOIN fc USING (doc_id, pos)
+    """,
+)
+def pooled_eval_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-obs POOLED evaluation (fforma/utils/utils.py:257-294): one
+    row, metric over all concatenated observations — not per-series-
+    then-mean. Single global aggregate."""
+    from fforma_spark.functions.metrics import evaluate_models_per_obs
+
+    fc = _forecasts_events_spark(spark, sf_dir).select(
+        "doc_id",
+        "pos",
+        F.col("naive_forec"),
+        F.col("snaive_forec"),
+        F.col("rwd_forec").alias("rwd_forec"),
+        F.col("avg_forec").alias("avg_forec"),
+    )
+    panel = panel_from_events(spark, sf_dir)
+    stats = (
+        panel.groupBy("doc_id")
+        .agg((F.max("pos") + 1).alias("n"))
+        .filter(F.col("n") > _H + _S)
+        .withColumn("cutoff", F.col("n") - _H)
+    )
+    truth = (
+        panel.join(stats.select("doc_id", "cutoff"), "doc_id")
+        .filter(F.col("pos") >= F.col("cutoff"))
+        .select(
+            "doc_id",
+            (F.col("pos") - F.col("cutoff")).alias("pos"),
+            F.col("val").alias("y"),
+        )
+    )
+    out = evaluate_models_per_obs(
+        truth, fc, ["naive_forec", "snaive_forec", "rwd_forec", "avg_forec"]
+    )
+    return out.select(
+        *[stable_round6(c).alias(c) for c in out.columns]
+    )
+
+
+@register(
+    "train_horizontal_events",
+    f"""
+    WITH panel AS ({PANEL_FROM_EVENTS_SQL})
+    SELECT doc_id, CAST(count(*) AS INT) AS n,
+           {sql_round6('arg_min(val * 2.0 + 1.0, pos)')} AS x_first,
+           {sql_round6('arg_max(val * 2.0 + 1.0, pos)')} AS x_last,
+           {sql_round6('arg_min(val, pos)')} AS y_first,
+           {sql_round6('arg_max(val, pos)')} AS y_last
+    FROM panel GROUP BY doc_id
+    """,
+)
+def train_horizontal_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """train_to_horizontal (fforma/utils/reshaping.py:42-59): zip the
+    X and y long panels into per-doc aligned arrays with the length
+    assert IN THE PLAN; summarized as (n, sums) for the hash gate."""
+    from fforma_spark.operators.reshape import train_to_horizontal
+
+    panel = panel_from_events(spark, sf_dir)
+    x_panel = panel.select(
+        "doc_id", "pos", (F.col("val") * 2.0 + 1.0).alias("val")
+    )
+    th = train_to_horizontal(x_panel, panel)
+    return th.select(
+        "doc_id",
+        F.col("n"),
+        stable_round6(F.element_at("X", 1)).alias("x_first"),
+        stable_round6(F.element_at("X", F.col("n"))).alias("x_last"),
+        stable_round6(F.element_at("y", 1)).alias("y_first"),
+        stable_round6(F.element_at("y", F.col("n"))).alias("y_last"),
+    )
+
+
+_SP_PREFIXES = ["Q", "D"]
+
+
+@register(
+    "seasonal_onehot_documents",
+    f"""
+    SELECT doc_id,
+           CAST(CASE WHEN substring(doc_id, 1, 1) = 'Q' THEN 1 ELSE 0 END AS INT) AS sp_Q,
+           CAST(CASE WHEN substring(doc_id, 1, 1) = 'D' THEN 1 ELSE 0 END AS INT) AS sp_D
+    FROM ({_TAGGED_SEQ_SQL}) tg
+    """,
+)
+def seasonal_onehot_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-hot seasonal-period dummies from the id prefix
+    (fforma/experiments/experiment.py:420)."""
+    from fforma_spark.operators.reshape import seasonal_onehot
+
+    return seasonal_onehot(_tagged_sequences(spark, sf_dir), _SP_PREFIXES)
+
+
 _EBT_CUTS = [30, 36, 42, 48, 54, 60]
 _EBT_H, _EBT_S = 6, 7
 

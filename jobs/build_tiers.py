@@ -34,6 +34,13 @@ def main() -> None:
         help="comma list of name:bucket (buckets must cascade evenly)",
     )
     ap.add_argument("--salts", type=int, default=16)
+    ap.add_argument(
+        "--max-series-len",
+        type=int,
+        default=65536,
+        help="whale cap: longer docs enter sequential kernels as a "
+        "trailing window (plans/skew.cap_whales)",
+    )
     ap.add_argument("--exact-decimals", type=int, default=None)
     ap.add_argument(
         "--compress",
@@ -128,9 +135,13 @@ def main() -> None:
         from fforma_spark.functions.features import features_wide
 
         tf = time.time()
-        features_wide(seq).write.mode("overwrite").parquet(
-            f"{args.output}/t0_features/data"
-        )
+        # whale protection armed: a 200k-token doc enters the Python
+        # kernels as a bounded trailing window instead of dominating
+        # one task (plans/skew.cap_whales; exact associative moments
+        # re-merged JVM-side)
+        features_wide(seq, max_series_len=args.max_series_len).write.mode(
+            "overwrite"
+        ).parquet(f"{args.output}/t0_features/data")
         extra["features"] = {"wall_sec": round(time.time() - tf, 3)}
 
     wall = time.time() - t0

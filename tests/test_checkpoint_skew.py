@@ -128,3 +128,89 @@ def test_max_len_contract(spark):
     with pytest.raises(ValueError, match="exceed max_len"):
         assert_max_series_length(seq, 100)
     assert_max_series_length(seq.filter(F.col("n_tok") <= 100), 100)
+
+
+def test_cap_whales_bounds_and_preserves(spark):
+    """cap_whales slices only whales (trailing window), keeps true
+    length in n_true, and leaves short docs byte-identical."""
+    from fforma_spark.plans.skew import cap_whales
+
+    rows = [
+        ("short", list(range(100))),
+        ("whale", list(range(5000))),
+    ]
+    seq = spark.createDataFrame(
+        [(d, t, len(t)) for d, t in rows],
+        "doc_id string, tokens array<int>, n_tok int",
+    )
+    out = {r["doc_id"]: r for r in cap_whales(seq, 1024).collect()}
+    assert out["short"]["n_tok"] == 100 and out["short"]["n_true"] == 100
+    assert out["short"]["tokens"] == list(range(100))
+    assert out["whale"]["n_tok"] == 1024 and out["whale"]["n_true"] == 5000
+    assert out["whale"]["tokens"] == list(range(5000 - 1024, 5000))
+
+
+def test_features_wide_whale_protection(spark):
+    """A 200k-token whale: features_wide(max_series_len=...) completes
+    with the Python kernel bounded to the window, while series_length
+    and the associative moments stay EXACT for the full array; short
+    docs are bit-identical to the uncapped path."""
+    import numpy as np
+
+    from fforma_spark.functions.features import FEATURE_NAMES, features_wide
+
+    rng = np.random.RandomState(0)
+    whale = rng.randint(0, 7, size=200_000).tolist()
+    shorts = [rng.randint(1, 9, size=60).tolist() for _ in range(5)]
+    seq = spark.createDataFrame(
+        [("whale", whale, len(whale))]
+        + [(f"s{i}", t, len(t)) for i, t in enumerate(shorts)],
+        "doc_id string, tokens array<int>, n_tok int",
+    )
+    capped = {
+        r["doc_id"]: r for r in features_wide(seq, max_series_len=4096).collect()
+    }
+    plain_short = {
+        r["doc_id"]: r
+        for r in features_wide(seq.filter("doc_id != 'whale'")).collect()
+    }
+    w = capped["whale"]
+    x = np.asarray(whale, dtype=np.float64)
+    assert w["series_length"] == 200_000.0
+    assert np.isclose(w["mean"], x.mean())
+    assert np.isclose(w["variance"], x.var(ddof=1))
+    assert np.isclose(w["nonzero_ratio"], (x != 0).mean())
+    for doc in plain_short:
+        for f in FEATURE_NAMES:
+            assert capped[doc][f] == plain_short[doc][f], (doc, f)
+
+
+def test_base_forecasts_whale_protection(spark):
+    """base_forecasts with the cap returns the same forecasts for
+    short docs and completes on the whale (tail-window contract)."""
+    import numpy as np
+
+    from fforma_spark.functions.models import base_forecasts
+
+    rng = np.random.RandomState(1)
+    whale = rng.randint(1, 9, size=150_000).tolist()
+    short = rng.randint(1, 9, size=80).tolist()
+    seq = spark.createDataFrame(
+        [("whale", whale, len(whale)), ("s0", short, len(short))],
+        "doc_id string, tokens array<int>, n_tok int",
+    )
+    capped = base_forecasts(seq, default_h=8, max_series_len=2048).collect()
+    plain_s0 = {
+        (r["doc_id"], r["pos"]): r
+        for r in base_forecasts(
+            seq.filter("doc_id = 's0'"), default_h=8
+        ).collect()
+    }
+    got_whale = [r for r in capped if r["doc_id"] == "whale"]
+    assert len(got_whale) == 8
+    assert all(np.isfinite(r["naive_forec"]) for r in got_whale)
+    for r in capped:
+        if r["doc_id"] == "s0":
+            ref = plain_s0[(r["doc_id"], r["pos"])]
+            for c in r.asDict():
+                assert r[c] == ref[c], (c, r[c], ref[c])

@@ -166,3 +166,47 @@ def test_exact_dedup_counts(spark):
     total = docs.count()
     agg = D.exact_dedup(docs)
     assert agg.agg({"n_copies": "sum"}).collect()[0][0] == total
+
+
+def test_r2_candidates_subset_of_r1(spark):
+    """Sharing an r=2 band ⟹ sharing both constituent r=1 bands, so
+    the r=2 candidate set is a subset of r=1's (the precision knob)."""
+    docs = load_table(spark, SF, "documents")
+    sigs = D.minhash_signatures(docs)
+    r1 = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.lsh_candidate_pairs(sigs, r=1).collect()
+    }
+    r2 = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.lsh_candidate_pairs(sigs, r=2).collect()
+    }
+    assert r2 <= r1
+    assert len(r2) < len(r1)  # the dup-heavy-corpus volume collapse
+
+
+def test_simhash_hamming_matches_bruteforce(spark):
+    """4-chunk banding is pigeonhole-complete for Hamming ≤ 3: the
+    query's pair set equals the brute-force all-pairs scan."""
+    docs = load_table(spark, SF, "documents")
+    sigs = {
+        r["doc_id"]: tuple(r[f"sh_{c}"] for c in range(D.SIMHASH64_CHUNKS))
+        for r in D.simhash64(docs).collect()
+    }
+    ids = sorted(sigs)
+    brute = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            d = sum(
+                bin(x ^ y).count("1") for x, y in zip(sigs[a], sigs[b])
+            )
+            if d <= 3:
+                brute[(a, b)] = d
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in D.simhash_hamming_neardup(docs, max_dist=3).collect()
+    }
+    assert got == brute
+    # the 64-bit signature must actually use all four chunks
+    assert any(any(c > 0 for c in s) for s in sigs.values())
+    assert len({s[3] for s in sigs.values()}) > 1  # salted chunk varies
