@@ -372,6 +372,48 @@ def spectral_entropy(x: np.ndarray) -> float:
     return float(-(p * np.log(p)).sum() / math.log(len(psd)))
 
 
+def _fast_centered_ma_quirk(x: np.ndarray, w: int) -> np.ndarray:
+    """Cumsum twin of :func:`centered_ma` INCLUDING the even-series
+    double-MA quirk — used by the feature path only (ulp-level
+    differences from the pandas implementation are fine there; Naive2
+    keeps the pandas original for reference bit-parity)."""
+    x = np.asarray(x, dtype=np.float64)
+    n = len(x)
+    ma = _fast_centered_ma(x, w)
+    if n % 2 == 0:
+        # pandas rolling(2, center=True) windows are [i-1, i]; after the
+        # reference's np.roll(-1) the net result is pair means of
+        # consecutive MA values with a trailing NaN.
+        ma2 = np.full(n, np.nan)
+        ma2[: n - 1] = (ma[: n - 1] + ma[1:]) / 2.0
+        return ma2
+    return ma
+
+
+def _fast_seasonal_indices(x: np.ndarray, ppy: int) -> np.ndarray:
+    """Fast twin of :func:`seasonal_indices` (same semantics: 90%
+    ACF significance gate, ratio-to-MA indices normalized to mean 100)
+    built on :func:`acf_vector` + the cumsum MA. Feeds the strength
+    features; Naive2 keeps the scalar-accumulation original."""
+    x = np.asarray(x, dtype=np.float64)
+    n = len(x)
+    if ppy <= 1 or n < 2 * ppy:
+        return np.ones(ppy)
+    rho = acf_vector(x, ppy)
+    s = rho[0] + float((rho[1 : ppy - 1] ** 2).sum())
+    limit = 1.645 * math.sqrt((1 + 2 * s) / n) if (1 + 2 * s) > 0 else 0.0
+    if abs(rho[ppy - 1]) <= limit:
+        return np.ones(ppy)
+    ma = _fast_centered_ma_quirk(x, ppy)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ratio = x * 100.0 / ma
+    pad = ppy - (len(ratio) % ppy)
+    ratio = np.concatenate([ratio, np.full(pad, np.nan)])
+    si = np.nanmean(ratio.reshape(-1, ppy), axis=0)
+    si = si / (si.sum() / (ppy * 100.0))
+    return si
+
+
 def decompose_strengths(x: np.ndarray, ppy: int) -> tuple[float, float]:
     """(trend_strength, seasonal_strength) via a classical
     ratio-to-moving-average decomposition: trend = centered MA,
@@ -386,12 +428,12 @@ def decompose_strengths(x: np.ndarray, ppy: int) -> tuple[float, float]:
     x = np.asarray(x, dtype=np.float64)
     n = len(x)
     if ppy > 1 and n >= 2 * ppy:
-        si = seasonal_indices(x, ppy)
+        si = _fast_seasonal_indices(x, ppy)
         s_hat = np.tile(si, int(np.ceil(n / ppy)))[:n] / 100.0
     else:
         s_hat = np.ones(n)
     window = ppy if ppy > 1 else min(max((n // 8) * 2 + 1, 3), n)
-    t_hat = centered_ma(x, window)
+    t_hat = _fast_centered_ma_quirk(x, window)
     ok = ~np.isnan(t_hat) & (np.abs(s_hat) > 1e-12) & (np.abs(t_hat) > 1e-12)
     if ok.sum() < 3:
         return 0.0, 0.0
@@ -489,7 +531,8 @@ def hurst_exponent(x: np.ndarray) -> float:
 
 def _fast_centered_ma(x: np.ndarray, w: int) -> np.ndarray:
     """Cumsum-based centered moving average, NaN where the window is
-    not full; center index floor((w−1)/2). ~30× cheaper than the
+    not full; window at i covers [i−⌊w/2⌋, i+w−1−⌊w/2⌋] (pandas
+    rolling(center=True) alignment). ~30× cheaper than the
     pandas-backed :func:`centered_ma` (which stays pandas for
     bit-parity with the reference's Naive2 path)."""
     n = len(x)
@@ -497,7 +540,7 @@ def _fast_centered_ma(x: np.ndarray, w: int) -> np.ndarray:
     if w > n or w < 1:
         return out
     c = np.concatenate(([0.0], np.cumsum(x)))
-    lo = (w - 1) // 2
+    lo = w // 2
     out[lo : lo + n - w + 1] = (c[w:] - c[:-w]) / w
     return out
 
@@ -519,10 +562,11 @@ def _classical_additive(
     detr = x - t_hat
     if ppy > 1 and n >= 2 * ppy:
         phases = np.arange(n) % ppy
-        with np.errstate(invalid="ignore"):
-            si = np.array(
-                [np.nanmean(detr[phases == p]) for p in range(ppy)]
-            )
+        ok = ~np.isnan(detr)
+        cnt = np.bincount(phases[ok], minlength=ppy).astype(np.float64)
+        tot = np.bincount(phases[ok], weights=detr[ok], minlength=ppy)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            si = tot / cnt
         si = si - si.mean()
         s_hat = si[phases]
     else:
@@ -640,6 +684,265 @@ def holt_winters_params(
     return float(a[j]), float(b[j]), float(g[j]) if seasonal else 0.0
 
 
+# ---------------------------------------------------------------------------
+# tsfeatures vocabulary completion (Montero-Manso et al. 2020 FFORMA
+# feature set; the reference computes these via the R tsfeatures package
+# — fforma/experiments/base/common.py:10,138 tsfeatures_r. Everything
+# below is an independent numpy formulation of the published statistic.)
+# ---------------------------------------------------------------------------
+
+
+def acf_vector(x: np.ndarray, kmax: int) -> np.ndarray:
+    """ACF at lags 1..kmax (mean-centered, biased full-sum denominator
+    — the same estimator as :func:`acf`) in one pass; zeros where the
+    lag is out of range or the series is constant."""
+    x = np.asarray(x, dtype=np.float64)
+    n = len(x)
+    out = np.zeros(kmax)
+    if n < 2:
+        return out
+    d = x - x.mean()
+    s2 = float((d * d).sum())
+    if s2 == 0.0:
+        return out
+    for k in range(1, min(kmax, n - 1) + 1):
+        out[k - 1] = float((d[k:] * d[:-k]).sum()) / s2
+    return out
+
+
+def pacf_vector(x: np.ndarray, kmax: int) -> np.ndarray:
+    """Partial autocorrelations at lags 1..kmax via the
+    Durbin–Levinson recursion on the biased ACF."""
+    rho = acf_vector(x, kmax)
+    pacf = np.zeros(kmax)
+    if kmax < 1 or not np.any(rho):
+        return pacf
+    pacf[0] = rho[0]
+    phi = np.array([rho[0]])
+    for k in range(2, kmax + 1):
+        den = 1.0 - float((phi * rho[: k - 1]).sum())
+        if abs(den) < 1e-12:
+            break
+        a = (rho[k - 1] - float((phi * rho[k - 2 :: -1]).sum())) / den
+        pacf[k - 1] = a
+        phi = np.concatenate([phi - a * phi[::-1], [a]])
+    return pacf
+
+
+def unitroot_kpss(x: np.ndarray) -> float:
+    """KPSS level-stationarity statistic (Kwiatkowski et al. 1992):
+    partial sums of the demeaned series over a Bartlett-kernel long-run
+    variance with l = trunc(4·(n/100)^¼) — the tsfeatures
+    `unitroot_kpss` formulation (urca ur.kpss, type 'mu', lags
+    'short')."""
+    x = np.asarray(x, dtype=np.float64)
+    n = len(x)
+    if n < 4 or np.var(x) == 0:
+        return 0.0
+    e = x - x.mean()
+    s = np.cumsum(e)
+    lag = int(4.0 * (n / 100.0) ** 0.25)
+    lrv = float((e * e).sum()) / n
+    for j in range(1, min(lag, n - 1) + 1):
+        w = 1.0 - j / (lag + 1.0)
+        lrv += 2.0 / n * w * float((e[j:] * e[:-j]).sum())
+    if lrv <= 0:
+        return 0.0
+    return float((s * s).sum() / (n * n * lrv))
+
+
+def unitroot_pp(x: np.ndarray) -> float:
+    """Phillips–Perron Z-alpha statistic, constant model, Bartlett
+    short lags (tsfeatures `unitroot_pp` / urca ur.pp 'Z-alpha'):
+    n(ρ̂−1) − n²(λ²−σ²ᵤ) / (2·Σ(y₋₁−ȳ₋₁)²)."""
+    x = np.asarray(x, dtype=np.float64)
+    if len(x) < 5 or np.var(x) == 0:
+        return 0.0
+    y, y1 = x[1:], x[:-1]
+    n = len(y)
+    y1c = y1 - y1.mean()
+    den = float((y1c * y1c).sum())
+    if den == 0:
+        return 0.0
+    rho = float((y1c * (y - y.mean())).sum()) / den
+    u = y - (y.mean() - rho * y1.mean()) - rho * y1
+    s2 = float((u * u).sum()) / n
+    lag = int(4.0 * (n / 100.0) ** 0.25)
+    lam2 = s2
+    for j in range(1, min(lag, n - 1) + 1):
+        w = 1.0 - j / (lag + 1.0)
+        lam2 += 2.0 / n * w * float((u[j:] * u[:-j]).sum())
+    return float(n * (rho - 1.0) - (n * n * (lam2 - s2)) / (2.0 * den))
+
+
+def nonlinearity_stat(x: np.ndarray) -> float:
+    """Teräsvirta neural-network linearity LM test on the standardized
+    series at lag 1, scaled 10·χ²/n as in tsfeatures `nonlinearity`:
+    regress y on (1, y₋₁), then the residual on (1, y₋₁, y₋₁², y₋₁³);
+    χ² = n·log(SSR₀/SSR₁)."""
+    x = np.asarray(x, dtype=np.float64)
+    n0 = len(x)
+    if n0 < 8 or np.var(x) == 0:
+        return 0.0
+    xs = (x - x.mean()) / x.std(ddof=1)
+    y, y1 = xs[1:], xs[:-1]
+    n = len(y)
+    X0 = np.column_stack([np.ones(n), y1])
+    b0, *_ = np.linalg.lstsq(X0, y, rcond=None)
+    u = y - X0 @ b0
+    ssr0 = float((u * u).sum())
+    if ssr0 <= 0:
+        return 0.0
+    X1 = np.column_stack([np.ones(n), y1, y1**2, y1**3])
+    b1, *_ = np.linalg.lstsq(X1, u, rcond=None)
+    e = u - X1 @ b1
+    ssr1 = float((e * e).sum())
+    if ssr1 <= 0:
+        return 0.0
+    return float(10.0 * (n * math.log(ssr0 / ssr1)) / n0)
+
+
+def arch_stat(x: np.ndarray, lags: int = 12) -> float:
+    """ARCH LM statistic (tsfeatures `arch_stat`, demeaned): R² of the
+    OLS of (x−x̄)² on its ``lags`` lagged values."""
+    x = np.asarray(x, dtype=np.float64)
+    if len(x) <= lags + 1 or np.var(x) == 0:
+        return 0.0
+    y = (x - x.mean()) ** 2
+    T = len(y) - lags
+    X = np.column_stack(
+        [np.ones(T)] + [y[lags - j : lags - j + T] for j in range(1, lags + 1)]
+    )
+    yy = y[lags:]
+    b, *_ = np.linalg.lstsq(X, yy, rcond=None)
+    resid = yy - X @ b
+    tss = float(((yy - yy.mean()) ** 2).sum())
+    if tss <= 0:
+        return 0.0
+    r2 = 1.0 - float((resid * resid).sum()) / tss
+    return float(min(max(r2, 0.0), 1.0))
+
+
+def _ar_prewhiten(x: np.ndarray, max_points: int = 2048) -> np.ndarray:
+    """Residuals of an AR(p) Yule-Walker fit, p chosen by AIC via the
+    Durbin–Levinson recursion (stats::ar defaults: order.max =
+    10·log10(n), AIC = n·log(v̂ₚ) + 2p) — the pre-whitening step of
+    tsfeatures `heterogeneity`. Tail-capped for whale series."""
+    x = np.asarray(x, dtype=np.float64)
+    if len(x) > max_points:
+        x = x[-max_points:]
+    n = len(x)
+    d = x - x.mean()
+    if n < 10 or np.var(x) == 0:
+        return d
+    pmax = min(int(10.0 * math.log10(n)), n - 1)
+    rho = acf_vector(x, pmax)
+    v = float(np.var(x))
+    best_p, best_aic, best_phi = 0, n * math.log(v), np.zeros(0)
+    phi = np.zeros(0)
+    vk = v
+    for k in range(1, pmax + 1):
+        den = 1.0 - float((phi * rho[: k - 1]).sum()) if k > 1 else 1.0
+        if abs(den) < 1e-12:
+            break
+        a = (
+            (rho[k - 1] - float((phi * rho[k - 2 :: -1]).sum())) / den
+            if k > 1
+            else rho[0]
+        )
+        phi = np.concatenate([phi - a * phi[::-1], [a]]) if k > 1 else np.array([a])
+        vk = vk * (1.0 - a * a)
+        if vk <= 0:
+            break
+        aic = n * math.log(vk) + 2.0 * k
+        if aic < best_aic:
+            best_p, best_aic, best_phi = k, aic, phi.copy()
+    if best_p == 0:
+        return d
+    u = d[best_p:].copy()
+    for j in range(1, best_p + 1):
+        u -= best_phi[j - 1] * d[best_p - j : n - j]
+    return u
+
+
+def _garch11_moments(u: np.ndarray, max_points: int = 4096) -> np.ndarray:
+    """Standardized residuals of a GARCH(1,1) fitted by the
+    closed-form moment estimator (Kristensen & Linton 2006): u²
+    follows an ARMA(1,1) with AR coefficient φ = α+β and MA
+    coefficient β, so φ = ρ₂/ρ₁ of acf(u²) and β solves the ARMA(1,1)
+    autocorrelation quadratic; ω comes from variance targeting.
+    Deterministic stand-in for tsfeatures heterogeneity's garch fit
+    (the features feed a GBT; estimator choice is not load-bearing).
+    One O(n) residual recursion, no optimizer."""
+    u = np.asarray(u, dtype=np.float64)
+    if len(u) > max_points:
+        u = u[-max_points:]
+    n = len(u)
+    v = float(np.var(u))
+    if n < 20 or v <= 0:
+        return u
+    u2 = u * u
+    rho = acf_vector(u2, 2)
+    rho1, rho2 = float(rho[0]), float(rho[1])
+    if rho1 <= 0.01:
+        return u / math.sqrt(v)  # no ARCH structure detectable
+    phi = min(max(rho2 / rho1, 0.02), 0.98)
+    # ARMA(1,1) lag-1 autocorrelation with AR φ, MA −β:
+    # ρ₁(1 − 2φβ + β²) = (1 − φβ)(φ − β)  →  quadratic in β
+    qa = rho1 - phi
+    qb = 1.0 + phi * phi - 2.0 * rho1 * phi
+    beta = 0.0
+    if abs(qa) > 1e-12:
+        disc = qb * qb - 4.0 * qa * qa
+        if disc >= 0:
+            r = math.sqrt(disc)
+            for cand in ((-qb + r) / (2 * qa), (-qb - r) / (2 * qa)):
+                if 0.0 <= cand < min(phi, 1.0):
+                    beta = cand
+                    break
+    alpha = min(max(phi - beta, 0.001), 0.999 - beta)
+    omega = float(u2.mean()) * (1.0 - alpha - beta)
+    s = np.empty(n)
+    st = v
+    for t in range(n):
+        s[t] = st
+        st = omega + alpha * u2[t] + beta * st
+    return u / np.sqrt(np.maximum(s, 1e-300))
+
+
+def heterogeneity(x: np.ndarray) -> tuple[float, float, float, float]:
+    """(arch_acf, garch_acf, arch_r2, garch_r2) — tsfeatures
+    `heterogeneity` semantics: pre-whiten x with AR(AIC);
+    arch_acf = Σ of squared ACF(1..12) of u²; arch_r2 = ARCH LM R² of
+    u; garch_* repeat both on the GARCH(1,1)-standardized residuals."""
+    u = _ar_prewhiten(x)
+    if len(u) < 14 or np.var(u) == 0:
+        return 0.0, 0.0, 0.0, 0.0
+    arch_acf = float((acf_vector(u * u, 12) ** 2).sum())
+    arch_r2 = arch_stat(u)
+    z = _garch11_moments(u)
+    if len(z) < 14 or np.var(z) == 0:
+        return arch_acf, 0.0, arch_r2, 0.0
+    garch_acf = float((acf_vector(z * z, 12) ** 2).sum())
+    garch_r2 = arch_stat(z)
+    return arch_acf, garch_acf, arch_r2, garch_r2
+
+
+def peak_trough(
+    x: np.ndarray, ppy: int, s_hat: np.ndarray | None = None
+) -> tuple[float, float]:
+    """(peak, trough): 1-based phase of the seasonal component's max /
+    min (tsfeatures stl_features peak/trough); (0, 0) when
+    non-seasonal. ``s_hat`` lets callers share one decomposition."""
+    x = np.asarray(x, dtype=np.float64)
+    if ppy <= 1 or len(x) < 2 * ppy:
+        return 0.0, 0.0
+    if s_hat is None:
+        _, s_hat, _ = _classical_additive(x, ppy)
+    si = s_hat[:ppy]
+    return float(np.argmax(si) + 1), float(np.argmin(si) + 1)
+
+
 FEATURE_NAMES = [
     "series_length",
     "mean",
@@ -665,6 +968,28 @@ FEATURE_NAMES = [
     "hw_gamma",
     "nperiods",
     "seasonal_period",
+    # tsfeatures vocabulary completion (round 2)
+    "e_acf1",
+    "e_acf10",
+    "diff1_acf1",
+    "diff1_acf10",
+    "diff2_acf1",
+    "diff2_acf10",
+    "seas_acf1",
+    "x_pacf5",
+    "diff1x_pacf5",
+    "diff2x_pacf5",
+    "seas_pacf",
+    "peak",
+    "trough",
+    "unitroot_kpss",
+    "unitroot_pp",
+    "nonlinearity",
+    "arch_lm",
+    "arch_acf",
+    "garch_acf",
+    "arch_r2",
+    "garch_r2",
 ]
 
 
@@ -679,12 +1004,33 @@ def feature_vector(x: np.ndarray, seasonality: int) -> dict[str, float]:
     trend_s, seas_s = decompose_strengths(x, seasonality)
     width = seasonality if seasonality > 1 else 10
     if n >= 3:
-        t_hat, _, rem = _classical_additive(x, seasonality)
+        t_hat, s_hat, rem = _classical_additive(x, seasonality)
         lin, curv = linearity_curvature(x, seasonality, t_hat=t_hat)
         spike_v = spike(x, seasonality, rem=rem)
+        e = rem[~np.isnan(rem)]
+        e_acfs = acf_vector(e, 10)
+        e_acf1 = float(e_acfs[0])
+        e_acf10 = float((e_acfs**2).sum())
     else:
         lin, curv, spike_v = 0.0, 0.0, 0.0
+        e_acf1, e_acf10 = 0.0, 0.0
+        s_hat = None
     hw_a, hw_b, hw_g = holt_winters_params(x, seasonality)
+    d1 = np.diff(x) if n >= 2 else np.zeros(0)
+    d2 = np.diff(x, 2) if n >= 3 else np.zeros(0)
+    d1_acfs = acf_vector(d1, 10)
+    d2_acfs = acf_vector(d2, 10)
+    seas_acf1 = (
+        float(acf_vector(x, seasonality)[-1]) if seasonality > 1 else 0.0
+    )
+    x_pacf5 = float((pacf_vector(x, 5) ** 2).sum())
+    d1_pacf5 = float((pacf_vector(d1, 5) ** 2).sum())
+    d2_pacf5 = float((pacf_vector(d2, 5) ** 2).sum())
+    seas_pacf = (
+        float(pacf_vector(x, seasonality)[-1]) if seasonality > 1 else 0.0
+    )
+    peak_v, trough_v = peak_trough(x, seasonality, s_hat=s_hat)
+    arch_acf, garch_acf, arch_r2, garch_r2 = heterogeneity(x)
     out = {
         "series_length": float(n),
         "mean": float(x.mean()),
@@ -710,5 +1056,26 @@ def feature_vector(x: np.ndarray, seasonality: int) -> dict[str, float]:
         "hw_gamma": hw_g,
         "nperiods": 1.0 if seasonality > 1 else 0.0,
         "seasonal_period": float(seasonality),
+        "e_acf1": e_acf1,
+        "e_acf10": e_acf10,
+        "diff1_acf1": float(d1_acfs[0]),
+        "diff1_acf10": float((d1_acfs**2).sum()),
+        "diff2_acf1": float(d2_acfs[0]),
+        "diff2_acf10": float((d2_acfs**2).sum()),
+        "seas_acf1": seas_acf1,
+        "x_pacf5": x_pacf5,
+        "diff1x_pacf5": d1_pacf5,
+        "diff2x_pacf5": d2_pacf5,
+        "seas_pacf": seas_pacf,
+        "peak": peak_v,
+        "trough": trough_v,
+        "unitroot_kpss": unitroot_kpss(x),
+        "unitroot_pp": unitroot_pp(x),
+        "nonlinearity": nonlinearity_stat(x),
+        "arch_lm": arch_stat(x),
+        "arch_acf": arch_acf,
+        "garch_acf": garch_acf,
+        "arch_r2": arch_r2,
+        "garch_r2": garch_r2,
     }
     return {k: (0.0 if (v is None or not np.isfinite(v)) else float(v)) for k, v in out.items()}

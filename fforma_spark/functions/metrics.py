@@ -132,6 +132,37 @@ def evaluate_with_owa(
     return per_series
 
 
+def group_weighted_summary(
+    per_series: DataFrame,
+    group_col: str,
+    metric_cols: list[str],
+    horizon: int,
+) -> DataFrame:
+    """Obs-weighted average of per-series losses across groups
+    (fforma/experiments/summary/base.py:16-40 `_evaluate_base`): each
+    group contributes mean(loss) weighted by obs = n_series * horizon;
+    the grand 'Average' row is sum(mean_g * obs_g) / sum(obs_g).
+
+    Output: one row per group + one 'Average' row, columns
+    (grp, n_obs, *metric_cols). Two tiny aggregates — the per-group agg
+    is map-side partial over the per-series frame; the Average row
+    reduces the (n_groups)-row result, so nothing here grows with the
+    number of series.
+    """
+    per = per_series.groupBy(F.col(group_col).alias("grp")).agg(
+        (F.count("*") * horizon).cast("long").alias("n_obs"),
+        *[F.avg(m).alias(m) for m in metric_cols],
+    )
+    avg_row = per.agg(
+        F.sum("n_obs").cast("long").alias("n_obs"),
+        *[
+            (F.sum(F.col(m) * F.col("n_obs")) / F.sum("n_obs")).alias(m)
+            for m in metric_cols
+        ],
+    ).select(F.lit("Average").alias("grp"), "n_obs", *metric_cols)
+    return per.select("grp", "n_obs", *metric_cols).unionByName(avg_row)
+
+
 def evaluate_models_per_obs(
     truth: DataFrame, forecasts: DataFrame, model_cols: list[str]
 ) -> DataFrame:

@@ -125,6 +125,102 @@ def minhash_signatures_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# exact n-gram Jaccard via inverted index (no LSH recall loss)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_neardup(
+    docs: DataFrame, threshold: float = 0.5, max_df: int = 100
+) -> DataFrame:
+    """EXACT n-gram Jaccard near-dup through an inverted shingle index:
+    explode shingles → drop shingles appearing in more than ``max_df``
+    docs (the stop-shingle cap that bounds candidate fan-out at scale)
+    → self-join on shingle → per-pair intersection count → Jaccard from
+    the capped per-doc set sizes.
+
+    Unlike the MinHash path this has recall 1.0 over the capped shingle
+    space — a pair is produced iff it shares ≥1 surviving shingle — at
+    the cost of the inverted-index shuffle. The df cap is what keeps
+    the self-join from degenerating on boilerplate shingles: without it
+    a shingle present in f docs contributes O(f²) join rows; with it
+    the worst case is O(max_df²) per shingle, independent of corpus
+    size. All-pairs never materializes.
+    """
+    sh = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        _shingle_hashes(F.col("text")).alias("shingles"),
+    )
+    inv = sh.select("doc_id", F.explode("shingles").alias("g"))
+    keep = inv.groupBy("g").agg(F.count("*").alias("df")).filter(
+        F.col("df") <= max_df
+    )
+    inv = inv.join(keep.select("g"), "g")
+    sizes = inv.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = inv.alias("a")
+    b = inv.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    j = (
+        inter.join(
+            sizes.select(
+                F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            sizes.select(
+                F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b")
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+    )
+    return j.filter(F.col("jaccard") >= threshold).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+
+
+def ngram_jaccard_neardup_sql(threshold: float = 0.5, max_df: int = 100) -> str:
+    sh = _shingle_hashes_sql()
+    return f"""
+        WITH sh AS (
+            SELECT doc_id, {sh} AS shingles FROM documents
+        ),
+        inv0 AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
+        keep AS (SELECT g FROM inv0 GROUP BY g HAVING count(*) <= {max_df}),
+        inv AS (SELECT i.doc_id, i.g FROM inv0 i JOIN keep USING (g)),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM inv GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+            FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT i.doc_a, i.doc_b,
+               CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) AS jaccard
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.doc_a
+        JOIN sizes sb ON sb.doc_id = i.doc_b
+        WHERE CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) >= {threshold}
+    """
+
+
+# ---------------------------------------------------------------------------
 # LSH banding → candidate pairs → Jaccard verify
 # ---------------------------------------------------------------------------
 

@@ -103,6 +103,24 @@ def minhash_lsh_neardup_r2(spark, sf_dir):
     return out.withColumn("jaccard", stable_round6("jaccard"))
 
 
+_NGJ_MAXDF = 100
+
+
+@register(
+    "ngram_jaccard_neardup",
+    f"""
+    SELECT doc_a, doc_b, {sql_round6('jaccard')} AS jaccard
+    FROM ({D.ngram_jaccard_neardup_sql(_J_THRESH, _NGJ_MAXDF)}) n
+    """,
+)
+def ngram_jaccard_neardup(spark, sf_dir):
+    """EXACT n-gram Jaccard via inverted shingle index with a
+    document-frequency cap — recall 1.0 over the capped shingle space
+    (vs the MinHash path's probabilistic recall)."""
+    out = D.ngram_jaccard_neardup(_docs(spark, sf_dir), _J_THRESH, _NGJ_MAXDF)
+    return out.withColumn("jaccard", stable_round6("jaccard"))
+
+
 @register("simhash_documents", D.simhash_sql())
 def simhash_documents(spark, sf_dir):
     return D.simhash(_docs(spark, sf_dir))
@@ -168,6 +186,23 @@ def knn_bruteforce(spark, sf_dir):
 )
 def ann_lsh_topk(spark, sf_dir):
     out = S.ann_lsh_topk(_emb(spark, sf_dir), _NQ, _K)
+    return out.withColumn("cos_sim", stable_round6("cos_sim"))
+
+
+_IVF_CELLS, _IVF_NPROBE = 8, 2
+
+
+@register(
+    "ann_ivf_topk",
+    f"""
+    SELECT query_id, cand_id, {sql_round6('cos_sim')} AS cos_sim, rank
+    FROM ({S.ann_ivf_topk_sql(_NQ, _K, _IVF_CELLS, _IVF_NPROBE)}) k
+    """,
+)
+def ann_ivf_topk(spark, sf_dir):
+    """IVF ANN: Voronoi-cell partition around deterministic seed
+    centroids, nprobe-cell search — O(Q·N·nprobe/n_cells) candidates."""
+    out = S.ann_ivf_topk(_emb(spark, sf_dir), _NQ, _K, _IVF_CELLS, _IVF_NPROBE)
     return out.withColumn("cos_sim", stable_round6("cos_sim"))
 
 

@@ -162,6 +162,117 @@ def ann_lsh_topk(emb: DataFrame, n_queries: int, k: int) -> DataFrame:
     )
 
 
+def ann_ivf_topk(
+    emb: DataFrame,
+    n_queries: int,
+    k: int,
+    n_cells: int = 8,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: partition vectors into ``n_cells``
+    Voronoi cells around deterministic seed centroids (the embeddings
+    of vec_ids [n_queries, n_queries+n_cells)), then search each query
+    only inside its ``nprobe`` nearest cells.
+
+    Scale shape: the assignment pass is a scan × broadcast(n_cells)
+    project — O(N·C) flops, no shuffle; the search join shuffles on
+    cell_id only, so expected candidate volume is Q·N·(nprobe/n_cells).
+    Centroid *training* (Lloyd iterations = re-assign + per-cell mean)
+    is orthogonal and would reuse exactly this assignment join; seeds
+    keep the operator deterministic for the cross-engine oracle.
+    """
+    e = emb.select(F.col("vec_id").cast("long").alias("vec_id"), "embedding")
+    cents = e.filter(
+        (F.col("vec_id") >= n_queries) & (F.col("vec_id") < n_queries + n_cells)
+    ).select(
+        (F.col("vec_id") - n_queries).alias("cell_id"),
+        F.col("embedding").alias("c_emb"),
+    )
+    # nearest-cell assignment for every vector (rank-1 over C cells)
+    scored_cells = (
+        e.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "embedding",
+            "cell_id",
+            cosine(F.col("embedding"), F.col("c_emb")).alias("c_sim"),
+        )
+    )
+    wv = W.partitionBy("vec_id").orderBy(F.desc("c_sim"), "cell_id")
+    ranked_cells = scored_cells.withColumn("crank", F.row_number().over(wv))
+    assign = ranked_cells.filter(F.col("crank") == 1).select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("c_embedding"),
+        "cell_id",
+    )
+    probes = ranked_cells.filter(
+        (F.col("vec_id") < n_queries) & (F.col("crank") <= nprobe)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        "cell_id",
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(assign, "cell_id")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            cosine(F.col("q_emb"), F.col("c_embedding")).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "cand_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cos_sim", "rank")
+    )
+
+
+def ann_ivf_topk_sql(
+    n_queries: int, k: int, n_cells: int = 8, nprobe: int = 2
+) -> str:
+    c_sim = cosine_sql("e.embedding", "c.embedding")
+    cos = cosine_sql("q.q_emb", "a.c_embedding")
+    return f"""
+        WITH cents AS (
+            SELECT vec_id - {n_queries} AS cell_id, embedding
+            FROM embeddings
+            WHERE vec_id >= {n_queries} AND vec_id < {n_queries + n_cells}
+        ),
+        ranked_cells AS (
+            SELECT e.vec_id, e.embedding, c.cell_id,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {c_sim} DESC, c.cell_id
+                   ) AS crank
+            FROM embeddings e CROSS JOIN cents c
+        ),
+        assign AS (
+            SELECT vec_id AS cand_id, embedding AS c_embedding, cell_id
+            FROM ranked_cells WHERE crank = 1
+        ),
+        probes AS (
+            SELECT vec_id AS query_id, embedding AS q_emb, cell_id
+            FROM ranked_cells
+            WHERE vec_id < {n_queries} AND crank <= {nprobe}
+        ),
+        scored AS (
+            SELECT q.query_id, a.cand_id, {cos} AS cos_sim
+            FROM probes q JOIN assign a USING (cell_id)
+            WHERE q.query_id <> a.cand_id
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos_sim DESC, cand_id
+            ) AS rank
+            FROM scored
+        )
+        SELECT query_id, cand_id, cos_sim, rank FROM ranked WHERE rank <= {k}
+    """
+
+
 def ann_lsh_topk_sql(n_queries: int, k: int) -> str:
     cos = cosine_sql("q.embedding", "c.embedding")
     bucket = lsh_bucket_sql("embedding")

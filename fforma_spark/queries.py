@@ -1348,6 +1348,51 @@ def pooled_eval_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "weighted_summary_events",
+    f"""
+    WITH ev AS ({_SQL_EVAL}),
+    per AS (
+        SELECT CAST(CAST(doc_id AS BIGINT) % 3 AS VARCHAR) AS grp,
+               CAST(count(*) * {_H} AS BIGINT) AS n_obs,
+               avg(naive_smape) AS naive_smape,
+               avg(snaive_smape) AS snaive_smape
+        FROM ev GROUP BY 1
+    ),
+    avgr AS (
+        SELECT 'Average' AS grp,
+               CAST(sum(n_obs) AS BIGINT) AS n_obs,
+               sum(naive_smape * n_obs) / sum(n_obs) AS naive_smape,
+               sum(snaive_smape * n_obs) / sum(n_obs) AS snaive_smape
+        FROM per
+    )
+    SELECT grp, n_obs,
+           {sql_round6('naive_smape')} AS naive_smape,
+           {sql_round6('snaive_smape')} AS snaive_smape
+    FROM (SELECT * FROM per UNION ALL SELECT * FROM avgr) u
+    """,
+)
+def weighted_summary_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Obs-weighted summary across groups (sum(mean_loss·obs)/sum(obs),
+    fforma/experiments/summary/base.py:33-39): per-group mean sMAPE plus
+    the obs-weighted grand 'Average' row. Group key = doc_id mod 3 — a
+    deterministic stand-in for the reference's frequency groups."""
+    from fforma_spark.functions.metrics import group_weighted_summary
+
+    ev = _eval_events_spark(spark, sf_dir).withColumn(
+        "grp", (F.col("doc_id").cast("long") % 3).cast("string")
+    )
+    out = group_weighted_summary(
+        ev, "grp", ["naive_smape", "snaive_smape"], _H
+    )
+    return out.select(
+        "grp",
+        "n_obs",
+        stable_round6("naive_smape").alias("naive_smape"),
+        stable_round6("snaive_smape").alias("snaive_smape"),
+    )
+
+
+@register(
     "train_horizontal_events",
     f"""
     WITH panel AS ({PANEL_FROM_EVENTS_SQL})

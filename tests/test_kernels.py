@@ -122,3 +122,147 @@ def test_lumpiness_stability():
     x = np.concatenate([np.zeros(10), np.ones(10) * 5])
     assert K.stability(x, 10) > 0
     assert K.lumpiness(x, 10) == 0.0  # equal block variances (both 0)
+
+
+# ---------------------------------------------------------------------------
+# round-2 tsfeatures vocabulary
+# ---------------------------------------------------------------------------
+
+
+def test_acf_vector_matches_scalar_acf():
+    rng = np.random.default_rng(1)
+    x = rng.normal(0, 1, 80).cumsum()
+    v = K.acf_vector(x, 10)
+    for k in range(1, 11):
+        assert v[k - 1] == pytest.approx(K.acf(x, k), rel=1e-10)
+
+
+def test_pacf_vector_matches_yule_walker_solve():
+    """Durbin–Levinson PACF == last coefficient of the direct
+    Toeplitz Yule-Walker solve at each order (exact equivalence)."""
+    rng = np.random.default_rng(2)
+    x = rng.normal(0, 1, 200)
+    x = np.convolve(x, [1.0, 0.6, 0.3], mode="valid")  # give it structure
+    kmax = 5
+    rho = K.acf_vector(x, kmax)
+    got = K.pacf_vector(x, kmax)
+    for k in range(1, kmax + 1):
+        R = np.empty((k, k))
+        full = np.concatenate([[1.0], rho[:k]])
+        for i in range(k):
+            for j in range(k):
+                R[i, j] = full[abs(i - j)]
+        phi = np.linalg.solve(R, rho[:k])
+        assert got[k - 1] == pytest.approx(phi[-1], rel=1e-8, abs=1e-10)
+
+
+def test_unitroot_kpss_separates_rw_from_noise():
+    rng = np.random.default_rng(3)
+    noise = rng.normal(0, 1, 300)
+    rw = noise.cumsum()
+    # 5% critical value for the level KPSS statistic is 0.463
+    assert K.unitroot_kpss(noise) < 0.463
+    assert K.unitroot_kpss(rw) > 0.463
+
+
+def test_unitroot_pp_separates_rw_from_noise():
+    rng = np.random.default_rng(4)
+    noise = rng.normal(0, 1, 300)
+    rw = noise.cumsum()
+    # Z-alpha: strongly negative for stationary, near 0 for unit root
+    assert K.unitroot_pp(noise) < -50
+    assert K.unitroot_pp(rw) > -15
+
+
+def test_nonlinearity_detects_quadratic_map():
+    rng = np.random.default_rng(5)
+    lin = np.empty(300)
+    lin[0] = 0.0
+    eps = rng.normal(0, 1, 300)
+    for t in range(1, 300):
+        lin[t] = 0.5 * lin[t - 1] + eps[t]
+    nl = np.empty(300)
+    nl[0] = 0.1
+    for t in range(1, 300):
+        nl[t] = 0.3 * nl[t - 1] + 0.8 * nl[t - 1] ** 2 - 0.4 * nl[t - 1] ** 3 + 0.1 * eps[t]
+    assert K.nonlinearity_stat(nl) > 5 * max(K.nonlinearity_stat(lin), 0.01)
+
+
+def test_arch_stat_detects_volatility_clustering():
+    rng = np.random.default_rng(6)
+    iid = rng.normal(0, 1, 400)
+    # ARCH(1): sigma_t^2 = 0.2 + 0.7 e_{t-1}^2
+    e = np.empty(400)
+    e[0] = rng.normal()
+    z = rng.normal(0, 1, 400)
+    for t in range(1, 400):
+        e[t] = z[t] * np.sqrt(0.2 + 0.7 * e[t - 1] ** 2)
+    assert K.arch_stat(e) > 4 * max(K.arch_stat(iid), 0.01)
+    assert 0.0 <= K.arch_stat(e) <= 1.0
+
+
+def test_heterogeneity_garch_standardization_reduces_arch():
+    rng = np.random.default_rng(7)
+    z = rng.normal(0, 1, 500)
+    e = np.empty(500)
+    e[0] = z[0]
+    for t in range(1, 500):
+        e[t] = z[t] * np.sqrt(0.2 + 0.6 * e[t - 1] ** 2)
+    arch_acf, garch_acf, arch_r2, garch_r2 = K.heterogeneity(e)
+    assert arch_r2 > 0.05            # raw residuals show ARCH
+    assert garch_r2 < arch_r2        # standardization removes most of it
+    assert arch_acf > garch_acf
+    for v in (arch_acf, garch_acf, arch_r2, garch_r2):
+        assert np.isfinite(v)
+
+
+def test_peak_trough_locates_seasonal_extremes():
+    ppy = 12
+    t = np.arange(96)
+    # seasonal max at phase 3 (0-based) -> peak = 4 (1-based)
+    x = 10 + np.where(t % ppy == 3, 5.0, 0.0) - np.where(t % ppy == 9, 4.0, 0.0)
+    peak, trough = K.peak_trough(x, ppy)
+    assert peak == 4.0
+    assert trough == 10.0
+    assert K.peak_trough(x, 1) == (0.0, 0.0)
+
+
+def test_ar_prewhiten_removes_autocorrelation():
+    rng = np.random.default_rng(8)
+    eps = rng.normal(0, 1, 500)
+    x = np.empty(500)
+    x[0] = 0.0
+    for t in range(1, 500):
+        x[t] = 0.8 * x[t - 1] + eps[t]
+    u = K._ar_prewhiten(x)
+    assert abs(K.acf(u, 1)) < 0.1 < abs(K.acf(x, 1))
+
+
+def test_feature_vector_round2_vocabulary_complete_and_finite():
+    rng = np.random.default_rng(9)
+    x = 50 + rng.normal(0, 3, 60) + 4 * np.sin(np.arange(60) * 2 * np.pi / 12)
+    fv = K.feature_vector(x, 12)
+    assert set(fv) == set(K.FEATURE_NAMES)
+    assert len(K.FEATURE_NAMES) >= 45
+    for k, v in fv.items():
+        assert np.isfinite(v), k
+    # spot-check a couple against their kernels
+    assert fv["unitroot_kpss"] == pytest.approx(K.unitroot_kpss(x), rel=1e-12)
+    assert fv["diff1_acf1"] == pytest.approx(K.acf_vector(np.diff(x), 10)[0], rel=1e-12)
+    assert fv["seas_acf1"] == pytest.approx(K.acf_vector(x, 12)[-1], rel=1e-12)
+
+
+def test_fast_ma_and_seasonal_indices_match_pandas_originals():
+    rng = np.random.default_rng(10)
+    for n in (11, 12, 24, 25, 47, 48, 120):
+        x = 50 + rng.normal(0, 3, n) + 4 * np.sin(np.arange(n) * 2 * np.pi / 12)
+        for w in (3, 5, 12):
+            if w > n:
+                continue
+            a = K.centered_ma(x, w)
+            b = K._fast_centered_ma_quirk(x, w)
+            assert np.allclose(a, b, rtol=1e-10, equal_nan=True), (n, w)
+        if n >= 24:
+            si_a = K.seasonal_indices(x, 12)
+            si_b = K._fast_seasonal_indices(x, 12)
+            assert np.allclose(si_a, si_b, rtol=1e-10), n

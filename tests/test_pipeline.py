@@ -185,6 +185,77 @@ def test_r2_candidates_subset_of_r1(spark):
     assert len(r2) < len(r1)  # the dup-heavy-corpus volume collapse
 
 
+def test_ngram_jaccard_matches_bruteforce(spark):
+    """Inverted-index exact Jaccard == brute-force all-pairs Jaccard
+    over the df-capped shingle space (recall 1.0, unlike MinHash)."""
+    docs = load_table(spark, SF, "documents")
+    texts = {
+        int(r["doc_id"]): r["text"]
+        for r in docs.select("doc_id", "text").collect()
+    }
+    max_df = 100
+    sh = {d: _py_shingles(t) for d, t in texts.items()}
+    from collections import Counter
+
+    df = Counter(g for s in sh.values() for g in s)
+    capped = {d: {g for g in s if df[g] <= max_df} for d, s in sh.items()}
+    ids = sorted(capped)
+    brute = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(capped[a] & capped[b])
+            if inter == 0:
+                continue
+            j = inter / (len(capped[a]) + len(capped[b]) - inter)
+            if j >= 0.5:
+                brute[(a, b)] = j
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_neardup(docs, 0.5, max_df).collect()
+    }
+    assert set(got) == set(brute)
+    for k, v in got.items():
+        assert math.isclose(v, brute[k], rel_tol=1e-12)
+
+
+def test_ivf_structure_and_probed_recall(spark):
+    """Every IVF result must be the true top-k RESTRICTED to the probed
+    cells (the approximation is exactly the cell restriction, nothing
+    else), computed independently in numpy."""
+    emb = load_table(spark, SF, "embeddings")
+    pdf = emb.toPandas()
+    vecs = {
+        int(r.vec_id): np.asarray(r.embedding, dtype=np.float64)
+        for r in pdf.itertuples()
+    }
+    nq, k, n_cells, nprobe = 3, 4, 8, 2
+    cents = {c: vecs[nq + c] for c in range(n_cells)}
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    def ranked_cells(v):
+        return sorted(range(n_cells), key=lambda c: (-cos(v, cents[c]), c))
+
+    assign = {vid: ranked_cells(v)[0] for vid, v in vecs.items()}
+    got = S.ann_ivf_topk(emb, nq, k, n_cells, nprobe).collect()
+    for qid in range(nq):
+        probed = set(ranked_cells(vecs[qid])[:nprobe])
+        cands = [
+            (-cos(vecs[qid], v), cid)
+            for cid, v in vecs.items()
+            if cid != qid and assign[cid] in probed
+        ]
+        cands.sort()
+        expect = [cid for _, cid in cands[:k]]
+        mine = [
+            r["cand_id"]
+            for r in sorted(got, key=lambda r: r["rank"])
+            if r["query_id"] == qid
+        ]
+        assert mine == expect, (qid, mine, expect)
+
+
 def test_simhash_hamming_matches_bruteforce(spark):
     """4-chunk banding is pigeonhole-complete for Hamming ≤ 3: the
     query's pair set equals the brute-force all-pairs scan."""
