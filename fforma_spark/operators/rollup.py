@@ -126,6 +126,41 @@ def rollup_ladder(
     return out
 
 
+def apply_retention(tier: DataFrame, keep_buckets: int) -> DataFrame:
+    """Retention-policy enforcement: keep only the trailing
+    ``keep_buckets`` buckets of each series (the drop-chunks half of a
+    rollup+downsample+retention engine — once a tier has absorbed a
+    range, the finer data behind it expires).
+
+    Semantics: bucket > max(bucket) − keep_buckets per doc. Physically
+    this dataframe op is the SPEC; at production scale tiers are
+    written partitioned by a bucket range, so enforcement is dropping
+    whole partitions (a metadata-only Iceberg delete), and the per-doc
+    variant here covers ragged series ends. One agg (1 row/doc) + a
+    co-partitioned join — no window sort.
+    """
+    if keep_buckets < 1:
+        raise ValueError(f"keep_buckets must be >= 1, got {keep_buckets}")
+    mx = tier.groupBy("doc_id").agg(F.max("bucket").alias("_mx"))
+    return (
+        tier.join(mx, "doc_id")
+        .filter(F.col("bucket") > F.col("_mx") - keep_buckets)
+        .drop("_mx")
+    )
+
+
+def apply_retention_sql(tier_sql: str, keep_buckets: int) -> str:
+    """DuckDB twin of :func:`apply_retention`."""
+    return f"""
+        SELECT * EXCLUDE (_mx)
+        FROM (
+            SELECT t.*, max(bucket) OVER (PARTITION BY doc_id) AS _mx
+            FROM ({tier_sql}) t
+        )
+        WHERE bucket > _mx - {keep_buckets}
+    """
+
+
 def rollup_tier_sql(
     bucket: int, panel_sql: str, exact_decimals: int | None = 6
 ) -> str:

@@ -17,6 +17,8 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from fforma_spark.operators.gapfill import locf_fill, locf_fill_sql
 from fforma_spark.operators.reshape import explode_panel
 from fforma_spark.operators.rollup import (
+    apply_retention,
+    apply_retention_sql,
     rollup_from_tier,
     rollup_tier,
     rollup_tier_sql,
@@ -117,6 +119,27 @@ def locf_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return locf_fill(sparse, ["vmean", "cnt"]).select(
         "doc_id", "bucket", "vmean", "cnt", "is_gap"
     )
+
+
+_RETAIN_BUCKETS = 4
+
+
+@register(
+    "retention_t1_events",
+    apply_retention_sql(
+        rollup_tier_sql(_T1_BUCKET, PANEL_FROM_EVENTS_SQL), _RETAIN_BUCKETS
+    ),
+)
+def retention_t1_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention enforcement on T1: trailing-4-buckets policy per doc
+    (the drop-chunks half of the retention engine; see
+    operators/rollup.py::apply_retention for the partition-drop scale
+    path)."""
+    panel = panel_from_events(spark, sf_dir)
+    t1 = _round6(
+        rollup_tier(panel, _T1_BUCKET, exact_decimals=6), ["vsum", "vmean"]
+    )
+    return apply_retention(t1, _RETAIN_BUCKETS)
 
 
 # ---------------------------------------------------------------------------
@@ -1056,6 +1079,68 @@ def pinball_rmsse_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "quantile_calibration_events",
+    f"""
+    WITH fc AS ({_SQL_FC}),
+    panel AS ({PANEL_FROM_EVENTS_SQL}),
+    stats AS (
+        SELECT doc_id, max(pos) + 1 - {_H} AS cutoff
+        FROM panel GROUP BY doc_id HAVING max(pos) + 1 > {_H} + {_S}
+    ),
+    truth AS (
+        SELECT p.doc_id, p.pos - s.cutoff AS pos, p.val AS y
+        FROM panel p JOIN stats s USING (doc_id)
+        WHERE p.pos >= s.cutoff
+    )
+    SELECT t.doc_id,
+           {sql_round6("avg(CASE WHEN t.y <= f.naive_forec THEN 1.0 ELSE 0.0 END)")} AS naive_calibration,
+           {sql_round6(f"2 * CASE WHEN sum(abs(t.y)) <> 0 THEN sum(CASE WHEN t.y >= f.naive_forec THEN {_TAU} * (t.y - f.naive_forec) ELSE ({_TAU} - 1) * (t.y - f.naive_forec) END) / sum(abs(t.y)) ELSE 0.0 END")} AS naive_wpinball
+    FROM truth t
+    JOIN fc f USING (doc_id, pos)
+    GROUP BY t.doc_id
+    """,
+)
+def quantile_calibration_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile calibration (fforma/metrics/numpy/metrics.py:272-296:
+    fraction of obs with y ≤ ŷ — τ-quantile forecasts should score ≈ τ)
+    and the scaled weighted pinball (:298-327: 2·Σpinball/Σ|y| per
+    series; the reference's scalar is the mean of this column).
+    Catalyst aggregates only."""
+    panel = panel_from_events(spark, sf_dir)
+    stats = (
+        panel.groupBy("doc_id")
+        .agg((F.max("pos") + 1).alias("n"))
+        .filter(F.col("n") > _H + _S)
+        .withColumn("cutoff", F.col("n") - _H)
+    )
+    truth = (
+        panel.join(stats.select("doc_id", "cutoff"), "doc_id")
+        .filter(F.col("pos") >= F.col("cutoff"))
+        .select(
+            "doc_id",
+            (F.col("pos") - F.col("cutoff")).alias("pos"),
+            F.col("val").alias("y"),
+        )
+    )
+    fc = _forecasts_events_spark(spark, sf_dir)
+    j = truth.join(fc, ["doc_id", "pos"])
+    e = F.col("y") - F.col("naive_forec")
+    pinball_sum = F.sum(
+        F.when(e >= 0, _TAU * e).otherwise((_TAU - 1) * e)
+    )
+    wp = F.when(
+        F.sum(F.abs(F.col("y"))) != 0,
+        2 * pinball_sum / F.sum(F.abs(F.col("y"))),
+    ).otherwise(F.lit(0.0))
+    return j.groupBy("doc_id").agg(
+        stable_round6(
+            F.avg(F.when(F.col("y") <= F.col("naive_forec"), 1.0).otherwise(0.0))
+        ).alias("naive_calibration"),
+        stable_round6(wp).alias("naive_wpinball"),
+    )
+
+
+@register(
     "xor_roundtrip_tier",
     f"""
     SELECT doc_id, TRUE AS ok
@@ -1163,6 +1248,32 @@ def explode_panel_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seq.select(
         "doc_id", F.posexplode("tokens").alias("pos", "val")
     ).select("doc_id", F.col("pos").cast("long"), "val")
+
+
+_DOC_PANEL_SQL = f"""
+    SELECT doc_id, CAST(g.i - 1 AS BIGINT) AS pos, CAST(tokens[g.i] AS DOUBLE) AS val
+    FROM ({SEQUENCES_FROM_DOCUMENTS_SQL}) seqs,
+         UNNEST(generate_series(1, len(tokens))) AS g(i)
+"""
+
+
+@register(
+    "features_sql_documents",
+    _sql_rounded(
+        features_sql_oracle(_DOC_PANEL_SQL),
+        ["mean", "variance", "trend_slope", "x_acf1"],
+        ["doc_id", "series_length", "crossing_points"],
+    ),
+)
+def features_sql_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form feature subset (length/mean/variance/trend/acf1/
+    crossings) over the DOCUMENTS token panel — the oracled Catalyst
+    twin of the kernel-path features_t0_documents columns."""
+    from fforma_spark.functions.features import features_sql
+
+    panel = explode_panel(sequences_from_documents(spark, sf_dir))
+    out = features_sql(panel)
+    return _round6(out, ["mean", "variance", "trend_slope", "x_acf1"])
 
 
 @register(

@@ -110,3 +110,28 @@ def test_reshape_roundtrip(spark):
     orig = {r["doc_id"]: list(r["tokens"]) for r in seq.collect()}
     got = {r["doc_id"]: list(r["vals"]) for r in back.collect()}
     assert orig == got
+
+
+def test_apply_retention_keeps_trailing_buckets(spark):
+    """Retention keeps exactly the trailing K buckets per doc and
+    leaves their aggregates untouched."""
+    import pyspark.sql.functions as F
+
+    from fforma_spark.operators.rollup import apply_retention, rollup_tier
+    from fforma_spark.sources.tables import panel_from_events
+
+    panel = panel_from_events(spark, "/root/testdata/sf0.001")
+    t1 = rollup_tier(panel, 8)
+    kept = apply_retention(t1, 3)
+    full = {(r["doc_id"], r["bucket"]): r["vsum"] for r in t1.collect()}
+    got = {(r["doc_id"], r["bucket"]): r["vsum"] for r in kept.collect()}
+    assert set(got) < set(full)
+    for k, v in got.items():
+        assert v == full[k]
+    import collections
+
+    mx = collections.defaultdict(int)
+    for d, b in full:
+        mx[d] = max(mx[d], b)
+    expect = {(d, b) for d, b in full if b > mx[d] - 3}
+    assert set(got) == expect
