@@ -625,8 +625,11 @@ def linearity_curvature(
     if n < 3:
         return 0.0, 0.0
     P = _ortho_poly2(n)
-    coef, *_ = np.linalg.lstsq(P, tr, rcond=None)
-    return float(coef[0]), float(coef[1])
+    # P's columns are orthonormal → OLS is a projection. Elementwise
+    # multiply + pairwise sum, NOT a BLAS matvec: threaded dgemv splits
+    # the reduction differently on driver vs pinned executor workers,
+    # breaking exact driver/executor agreement.
+    return float((P[:, 0] * tr).sum()), float((P[:, 1] * tr).sum())
 
 
 def holt_winters_params(
@@ -690,6 +693,22 @@ def holt_winters_params(
 # — fforma/experiments/base/common.py:10,138 tsfeatures_r. Everything
 # below is an independent numpy formulation of the published statistic.)
 # ---------------------------------------------------------------------------
+
+
+def _ols_solve(X: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """OLS coefficients via the normal equations (X'X β = X'y) — an
+    order of magnitude cheaper than lstsq's SVD for the skinny design
+    matrices these test statistics use; falls back to lstsq when X'X
+    is singular. Gram products go through einsum (default non-BLAS
+    path) so driver and pinned executor workers reduce in the same
+    order — threaded GEMM would break exact agreement."""
+    G = np.einsum("ti,tj->ij", X, X)
+    c = np.einsum("ti,t->i", X, y)
+    try:
+        return np.linalg.solve(G, c)
+    except np.linalg.LinAlgError:
+        b, *_ = np.linalg.lstsq(X, y, rcond=None)
+        return b
 
 
 def acf_vector(x: np.ndarray, kmax: int) -> np.ndarray:
@@ -788,14 +807,12 @@ def nonlinearity_stat(x: np.ndarray) -> float:
     y, y1 = xs[1:], xs[:-1]
     n = len(y)
     X0 = np.column_stack([np.ones(n), y1])
-    b0, *_ = np.linalg.lstsq(X0, y, rcond=None)
-    u = y - X0 @ b0
+    u = y - np.einsum("ti,i->t", X0, _ols_solve(X0, y))
     ssr0 = float((u * u).sum())
     if ssr0 <= 0:
         return 0.0
     X1 = np.column_stack([np.ones(n), y1, y1**2, y1**3])
-    b1, *_ = np.linalg.lstsq(X1, u, rcond=None)
-    e = u - X1 @ b1
+    e = u - np.einsum("ti,i->t", X1, _ols_solve(X1, u))
     ssr1 = float((e * e).sum())
     if ssr1 <= 0:
         return 0.0
@@ -814,8 +831,8 @@ def arch_stat(x: np.ndarray, lags: int = 12) -> float:
         [np.ones(T)] + [y[lags - j : lags - j + T] for j in range(1, lags + 1)]
     )
     yy = y[lags:]
-    b, *_ = np.linalg.lstsq(X, yy, rcond=None)
-    resid = yy - X @ b
+    b = _ols_solve(X, yy)
+    resid = yy - np.einsum("ti,i->t", X, b)
     tss = float(((yy - yy.mean()) ** 2).sum())
     if tss <= 0:
         return 0.0
@@ -865,7 +882,7 @@ def _ar_prewhiten(x: np.ndarray, max_points: int = 2048) -> np.ndarray:
     return u
 
 
-def _garch11_moments(u: np.ndarray, max_points: int = 4096) -> np.ndarray:
+def _garch11_moments(u: np.ndarray, max_points: int = 1024) -> np.ndarray:
     """Standardized residuals of a GARCH(1,1) fitted by the
     closed-form moment estimator (Kristensen & Linton 2006): u²
     follows an ARMA(1,1) with AR coefficient φ = α+β and MA
