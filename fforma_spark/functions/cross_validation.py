@@ -74,9 +74,19 @@ def _cv_loss(
     per-series error matrix."""
     losses = []
     for train_idx, test_idx in stratified_kfold(classes, n_splits, seed):
+        # a class with fewer members than n_splits leaves some folds
+        # with an empty test set — mean([]) would be NaN and poison
+        # the whole trial, so skip those folds
+        if len(test_idx) == 0 or len(train_idx) == 0:
+            continue
         model = NumpyFFORMA(**params).fit(X[train_idx], err[train_idx])
         w = model.predict_weights(X[test_idx])
         losses.append(float((w * err[test_idx]).sum(axis=1).mean()))
+    if not losses:
+        raise ValueError(
+            f"no usable CV folds: {len(X)} rows cannot fill "
+            f"{n_splits} stratified splits"
+        )
     return float(np.mean(losses))
 
 
@@ -124,7 +134,12 @@ def cross_validate_fforma(
     for params in grid:
         loss = _cv_loss(X, err, classes, params, n_splits, seed)
         trials.append((params, loss))
-        if loss < best_loss:
+        if np.isfinite(loss) and loss < best_loss:
             best_params, best_loss = params, loss
+    if best_params is None:
+        raise ValueError(
+            f"no trial produced a finite CV loss over {len(grid)} "
+            "grid points (empty grid or degenerate losses)"
+        )
     model = NumpyFFORMA(**best_params).fit(X, err)
     return best_params, best_loss, trials, model, kept, feature_cols

@@ -81,9 +81,7 @@ def features_wide(
         seq_df.select("doc_id", "tokens", "n_tok"), max_series_len
     )
     src = ensure_parallelism(capped.select("doc_id", "tokens", "n_true"))
-    feats = src.mapInPandas(
-        gen, "doc_id string, " + ", ".join(f"{n} double" for n in FEATURE_NAMES)
-    )
+    feats = src.mapInPandas(gen, FEATURES_SCHEMA)
     whales = seq_df.filter(F.col("n_tok") > max_series_len)
     moments = whale_exact_moments(
         whales.select("doc_id", "tokens", "n_tok")

@@ -365,7 +365,7 @@ def spectral_entropy(x: np.ndarray) -> float:
     fft = np.fft.rfft(x)
     psd = (fft.real**2 + fft.imag**2)[1:]  # drop DC
     total = psd.sum()
-    if total <= 0:
+    if total <= 0 or len(psd) < 2:  # single bin → log(1) denominator
         return 0.0
     p = psd / total
     p = p[p > 0]

@@ -209,7 +209,14 @@ def collect_training_matrix(
     from pyspark.sql import functions as SF
 
     joined = features_df.join(errors_df, "doc_id")
+    cached = None
     if train_row_budget is not None:
+        # cache before the budget count: the upstream plan includes the
+        # full feature mapInPandas pass, and without the cache the
+        # count + (possible) prefix-distinct + final toPandas would
+        # each re-execute it from scratch
+        cached = joined.cache()
+        joined = cached
         n_total = joined.count()
         if n_total > train_row_budget:
             frac = train_row_budget / n_total
@@ -221,6 +228,8 @@ def collect_training_matrix(
                 "_pfx", {p: frac for p in prefixes}, seed=sample_seed
             ).drop("_pfx")
     pdf = joined.orderBy("doc_id").toPandas()
+    if cached is not None:
+        cached.unpersist()
     if feature_cols is None:
         feature_cols = [c for c in features_df.columns if c != "doc_id"]
     models = [c for c in loss_cols if c != benchmark]

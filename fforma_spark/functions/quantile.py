@@ -69,6 +69,7 @@ def quantile_ar_forecast(
     ar_terms: list[int] | None = None,
     add_constant: bool = True,
     max_diffs: int = 0,
+    n_diffs: int | None = None,
 ) -> np.ndarray:
     """Quantile AR forecast: fit y_t ~ c + Σ a_j y_{t-n_j} at quantile
     τ, then forecast recursively (fforma/base/_quantile_models.py:49-225).
@@ -77,7 +78,9 @@ def quantile_ar_forecast(
     ``max_diffs > 0`` enables the reference's ADF branch (:145-151):
     difference until the from-scratch ADF test says stationary, fit on
     the differenced series, undifference the recursive forecast via
-    repeated cumsum + last train value (:210-214)."""
+    repeated cumsum + last train value (:210-214). ``n_diffs`` lets a
+    caller that already ran the ADF search (to report d) pass the
+    result in, skipping a duplicate AIC-lag search per series."""
     y = np.asarray(y, dtype=np.float64)
     if ar_terms is None:
         ar_terms = [1, 2]
@@ -86,7 +89,11 @@ def quantile_ar_forecast(
         return np.full(h, float(y[-1]))
     last_y_train = float(y[-1])
     d = 0
-    if max_diffs > 0:
+    if n_diffs is not None:
+        d = int(n_diffs)
+        for _ in range(d):
+            y = np.diff(y)
+    elif max_diffs > 0:
         y, d = difference_until_stationary(y, max_diffs)
 
     def undiff(out: np.ndarray) -> np.ndarray:

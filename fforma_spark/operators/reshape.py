@@ -66,12 +66,16 @@ def train_to_horizontal(
         "doc_id", F.col("vals").alias("y"), F.col("n").alias("n_y")
     )
     j = xw.join(yw, "doc_id", "outer")
-    ok = F.assert_true(
-        F.col("n_x") == F.col("n_y"), F.lit("ds_x and ds_y not corresponding")
-    )
+    # Load-bearing assert: CASE falls through to raise_error when the
+    # lengths differ OR a doc exists on only one side (NULL comparison).
+    # A when(assert_true(..).isNull(), X).otherwise(X) variant is DEAD —
+    # Catalyst collapses identical branches and drops the assert.
+    x_checked = F.when(
+        F.col("n_x") == F.col("n_y"), F.col("X")
+    ).otherwise(F.raise_error(F.lit("ds_x and ds_y not corresponding")))
     return j.select(
         "doc_id",
-        F.when(ok.isNull(), F.col("X")).otherwise(F.col("X")).alias("X"),
+        x_checked.alias("X"),
         "y",
         F.col("n_x").alias("n"),
     )

@@ -1607,6 +1607,9 @@ def quantile_forecasts_adf_documents(spark: SparkSession, sf_dir: str) -> DataFr
                 if len(y) <= h + 3:
                     continue
                 train = y[:-h]
+                # ONE ADF search per doc: its result feeds both the
+                # reported n_diffs and the forecast (n_diffs= skips
+                # the duplicate search inside quantile_ar_forecast)
                 _, d = difference_until_stationary(train, 10)
                 frames.append(
                     pd.DataFrame(
@@ -1614,7 +1617,7 @@ def quantile_forecasts_adf_documents(spark: SparkSession, sf_dir: str) -> DataFr
                             "doc_id": doc_id,
                             "pos": np.arange(h, dtype=np.int64),
                             "q50_adf": quantile_ar_forecast(
-                                train, h, 0.5, max_diffs=10
+                                train, h, 0.5, n_diffs=d
                             ),
                             "n_diffs": np.int64(d),
                         }

@@ -214,3 +214,21 @@ def test_base_forecasts_whale_protection(spark):
             ref = plain_s0[(r["doc_id"], r["pos"])]
             for c in r.asDict():
                 assert r[c] == ref[c], (c, r[c], ref[c])
+
+
+def test_train_to_horizontal_assert_is_load_bearing(spark):
+    """A misaligned X/y panel must FAIL the job (the reference's
+    'ds_x and ds_y not corresponding' assert) — guard against Catalyst
+    optimizing the check away."""
+    import pytest
+
+    from fforma_spark.operators.reshape import train_to_horizontal
+
+    x = spark.createDataFrame(
+        [("a", 0, 1.0), ("a", 1, 2.0)], "doc_id string, pos long, val double"
+    )
+    y = spark.createDataFrame(
+        [("a", 0, 1.0)], "doc_id string, pos long, val double"
+    )
+    with pytest.raises(Exception, match="ds_x and ds_y not corresponding"):
+        train_to_horizontal(x, y).collect()

@@ -81,3 +81,24 @@ def test_cv_selects_sane_params_and_beats_uniform(spark):
     assert best_loss == min(t[1] for t in trials)
     assert np.isfinite(best_loss)
     assert model.loss_curve_[-1] <= model.loss_curve_[0] + 1e-9
+
+
+def test_cv_skips_empty_folds_and_raises_clearly():
+    """Folds with empty test sets (classes smaller than n_splits) are
+    skipped instead of poisoning the trial with NaN; an impossible
+    split raises a clear error instead of TypeError(**None)."""
+    import numpy as np
+    import pytest
+
+    from fforma_spark.functions.cross_validation import _cv_loss
+
+    rng = np.random.default_rng(0)
+    X = rng.normal(size=(3, 3))
+    err = np.abs(rng.normal(size=(3, 2)))
+    # class B has 1 member < n_splits=3 → fold 2's test set is empty
+    classes = np.array(["A", "A", "B"])
+    params = {"n_rounds": 2, "max_depth": 2, "learning_rate": 0.3}
+    loss = _cv_loss(X, err, classes, params, n_splits=3, seed=1)
+    assert np.isfinite(loss)
+    with pytest.raises(ValueError, match="no usable CV folds"):
+        _cv_loss(X[:0], err[:0], classes[:0], params, n_splits=3, seed=1)

@@ -266,3 +266,15 @@ def test_fast_ma_and_seasonal_indices_match_pandas_originals():
             si_a = K.seasonal_indices(x, 12)
             si_b = K._fast_seasonal_indices(x, 12)
             assert np.allclose(si_a, si_b, rtol=1e-10), n
+
+
+def test_feature_vector_degenerate_inputs_all_finite():
+    """Production calls feature_vector on arbitrary docs — tiny,
+    constant, and all-zero series must yield the full finite vector."""
+    for n in (1, 2, 3, 4, 5, 7):
+        for x in (np.full(n, 5.0), np.arange(n, dtype=float), np.zeros(n)):
+            for s in (1, 7, 12):
+                fv = K.feature_vector(x, s)
+                assert set(fv) == set(K.FEATURE_NAMES)
+                for k, v in fv.items():
+                    assert np.isfinite(v), (n, s, k)
