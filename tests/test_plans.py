@@ -85,3 +85,49 @@ def test_udf_stages_are_arrow_evaluated(spark):
     plan = _plan(features_wide(sequences_from_documents(spark, SF)))
     assert "MapInPandas" in plan or "ArrowEvalPython" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_bucketed_tables_join_without_exchange(spark, tmp_path):
+    """The SCALE.md §7 'designed for cluster' claim, demonstrated: two
+    tables bucketed by doc_id on the same bucket count join with NO
+    shuffle exchange — the truth⋈predictions join becomes bucket-local
+    (exchange elimination is table DDL, not engine code)."""
+    from fforma_spark.sources.tables import panel_from_events
+
+    import pyspark.sql.functions as F
+
+    panel = panel_from_events(spark, SF)
+    # the engine's weights⋈forecasts shape: 1 row/doc joined onto the
+    # panel on doc_id — the bucket key IS the join key
+    left = panel.groupBy("doc_id").agg(F.avg("val").alias("w"))
+    right = panel.select("doc_id", "pos", (panel["val"] * 2).alias("pred"))
+    for name, df in (("bt_truth", left), ("bt_preds", right)):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.write.bucketBy(8, "doc_id")
+            .sortBy("doc_id")
+            .option("path", str(tmp_path / name))
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the sort-merge path (at 100 TB neither side broadcasts)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = (
+            spark.table("bt_truth")
+            .join(spark.table("bt_preds"), "doc_id")
+            .select("doc_id", "pos", (F.col("w") * F.col("pred")).alias("y"))
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "Bucketed: true" in plan, plan
+        assert j.count() > 0
+        # the same join on plain (non-bucketed) frames DOES exchange
+        plain = left.join(right, "doc_id")
+        plain_plan = plain._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" in plain_plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bt_truth")
+        spark.sql("DROP TABLE IF EXISTS bt_preds")
