@@ -108,6 +108,75 @@ def decode_audio(payload: bytes) -> np.ndarray:
     )
 
 
+def fake_decode(payload: bytes, h: int = 16, w: int = 16) -> np.ndarray:
+    """Deterministic stand-in for :func:`decode_image` (no codec in
+    this container): tiles the payload bytes into an (h, w) float32
+    grayscale array. Clearly NOT a real decoder — production swaps in
+    decode_image; everything downstream (resize, Arrow batching,
+    schema) is codec-agnostic and real."""
+    b = np.frombuffer(payload, dtype=np.uint8)
+    if b.size == 0:
+        b = np.zeros(1, dtype=np.uint8)
+    reps = -(-(h * w) // b.size)
+    return np.tile(b, reps)[: h * w].astype(np.float32).reshape(h, w)
+
+
+def resize_bilinear(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """REAL bilinear resize (half-pixel-center convention, the
+    OpenCV/PIL default) in pure numpy — the resize stage of the
+    multimodal pipeline, fully functional independent of codecs."""
+    img = np.asarray(img, dtype=np.float64)
+    in_h, in_w = img.shape
+    ys = np.clip((np.arange(out_h) + 0.5) * in_h / out_h - 0.5, 0, in_h - 1)
+    xs = np.clip((np.arange(out_w) + 0.5) * in_w / out_w - 0.5, 0, in_w - 1)
+    y0 = np.floor(ys).astype(np.int64)
+    x0 = np.floor(xs).astype(np.int64)
+    y1 = np.minimum(y0 + 1, in_h - 1)
+    x1 = np.minimum(x0 + 1, in_w - 1)
+    fy = (ys - y0)[:, None]
+    fx = (xs - x0)[None, :]
+    return (
+        img[np.ix_(y0, x0)] * (1 - fy) * (1 - fx)
+        + img[np.ix_(y1, x0)] * fy * (1 - fx)
+        + img[np.ix_(y0, x1)] * (1 - fy) * fx
+        + img[np.ix_(y1, x1)] * fy * fx
+    )
+
+
+THUMB_SCHEMA = "doc_id long, thumb array<float>"
+
+
+def thumbnails(docs: DataFrame, out_h: int = 8, out_w: int = 8) -> DataFrame:
+    """decode → resize as an Arrow-batched mapInPandas stage: each
+    payload becomes a fixed (out_h × out_w) float thumbnail, flattened
+    row-major. Decode is the deterministic :func:`fake_decode` stand-in
+    (swap for decode_image in production); the resize math, UDF
+    signature, batch shape, and schema are the real contract."""
+    from fforma_spark.util import ensure_parallelism
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                img = fake_decode(bytes(payload))
+                th = resize_bilinear(img, out_h, out_w)
+                out.append(
+                    {
+                        "doc_id": doc_id,
+                        "thumb": th.astype(np.float32).ravel().tolist(),
+                    }
+                )
+            yield (
+                pd.DataFrame(out, columns=["doc_id", "thumb"])
+                if out
+                else pd.DataFrame(columns=["doc_id", "thumb"])
+            )
+
+    t = payload_table(docs)
+    src = ensure_parallelism(t.select("doc_id", "payload"))
+    return src.mapInPandas(gen, THUMB_SCHEMA)
+
+
 def byte_features(payload: bytes) -> dict[str, float]:
     """Deterministic byte-level feature extraction (the REAL stage that
     stands in for decode→featurize): length, mean/std byte value,

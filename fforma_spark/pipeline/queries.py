@@ -222,3 +222,10 @@ def multimodal_frame_index(spark, sf_dir):
 @register("multimodal_byte_features")  # rows-only: numpy oracle in pytest
 def multimodal_byte_features(spark, sf_dir):
     return M.extract_features(_docs(spark, sf_dir))
+
+
+@register("multimodal_thumbnails")  # rows-only: numpy oracle in pytest
+def multimodal_thumbnails(spark, sf_dir):
+    """decode(stand-in) → REAL bilinear resize to 8×8 thumbnails,
+    Arrow-batched mapInPandas (pipeline/multimodal.py::thumbnails)."""
+    return M.thumbnails(_docs(spark, sf_dir))

@@ -281,3 +281,36 @@ def test_simhash_hamming_matches_bruteforce(spark):
     # the 64-bit signature must actually use all four chunks
     assert any(any(c > 0 for c in s) for s in sigs.values())
     assert len({s[3] for s in sigs.values()}) > 1  # salted chunk varies
+
+
+def test_resize_bilinear_math():
+    """Identity resize returns the image; 2x2 -> 4x4 matches the
+    hand-computed half-pixel-center bilinear expansion."""
+    img = np.array([[0.0, 1.0], [2.0, 3.0]])
+    assert np.allclose(M.resize_bilinear(img, 2, 2), img)
+    up = M.resize_bilinear(img, 4, 4)
+    # half-pixel centers: sample coords are [-0.25, 0.25, 0.75, 1.25]
+    # clipped to [0, 1]; first/last rows+cols replicate edges
+    expect_row0 = np.array([0.0, 0.25, 0.75, 1.0])
+    assert np.allclose(up[0], expect_row0)
+    assert np.allclose(up[3], expect_row0 + 2.0)
+    assert np.allclose(up[:, 0], np.array([0.0, 0.5, 1.5, 2.0]))
+    # downscale a constant image stays constant
+    const = np.full((7, 5), 3.25)
+    assert np.allclose(M.resize_bilinear(const, 3, 2), 3.25)
+
+
+def test_thumbnails_match_numpy_oracle(spark):
+    docs = load_table(spark, SF, "documents").limit(12)
+    rows = docs.select("doc_id", "text").collect()
+    got = {r["doc_id"]: np.array(r["thumb"]) for r in M.thumbnails(docs).collect()}
+    assert len(got) == len(rows)
+    for r in rows:
+        payload = r["text"].encode("utf-8")
+        expect = (
+            M.resize_bilinear(M.fake_decode(payload), 8, 8)
+            .astype(np.float32)
+            .ravel()
+        )
+        assert np.allclose(got[int(r["doc_id"])], expect, rtol=1e-6)
+        assert got[int(r["doc_id"])].shape == (64,)
