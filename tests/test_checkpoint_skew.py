@@ -232,3 +232,31 @@ def test_train_to_horizontal_assert_is_load_bearing(spark):
     )
     with pytest.raises(Exception, match="ds_x and ds_y not corresponding"):
         train_to_horizontal(x, y).collect()
+
+
+def test_incremental_refresh_on_changed_fingerprint(spark, panel, tmp_path):
+    """A NEW input fingerprint (changed Iceberg snapshot) must rebuild
+    every tier — the incremental-refresh half of the resume contract —
+    and the rebuilt tiers must reflect the new data, not the old."""
+    import pyspark.sql.functions as F
+
+    base = str(tmp_path / "tiers_refresh")
+    m1 = materialize_ladder(panel, base, TIERS, fingerprint="snap1")
+    assert all(not m.get("resumed") for m in m1.values())
+    old_t1 = _tier_as_dict(read_tier(spark, base, TIERS[0]))
+
+    changed = panel.withColumn("val", F.col("val") + 1.0)
+    m2 = materialize_ladder(changed, base, TIERS, fingerprint="snap2")
+    assert all(not m.get("resumed") for m in m2.values())
+    assert all(m["fingerprint"] == "snap2" for m in m2.values())
+    new_t1 = _tier_as_dict(read_tier(spark, base, TIERS[0]))
+    assert set(new_t1) == set(old_t1)  # same (doc, bucket) grid
+    for k, (cnt, vmin, vmax, vsum) in new_t1.items():
+        ocnt, ovmin, ovmax, ovsum = old_t1[k]
+        assert cnt == ocnt
+        assert vmin == ovmin + 1.0 and vmax == ovmax + 1.0
+        assert abs(vsum - (ovsum + cnt)) < 1e-6
+
+    # and the new snapshot now resumes under ITS fingerprint
+    m3 = materialize_ladder(changed, base, TIERS, fingerprint="snap2")
+    assert all(m.get("resumed") for m in m3.values())
