@@ -210,26 +210,30 @@ def collect_training_matrix(
 
     joined = features_df.join(errors_df, "doc_id")
     cached = None
-    if train_row_budget is not None:
-        # cache before the budget count: the upstream plan includes the
-        # full feature mapInPandas pass, and without the cache the
-        # count + (possible) prefix-distinct + final toPandas would
-        # each re-execute it from scratch
-        cached = joined.cache()
-        joined = cached
-        n_total = joined.count()
-        if n_total > train_row_budget:
-            frac = train_row_budget / n_total
-            joined = joined.withColumn("_pfx", SF.substring("doc_id", 1, 1))
-            prefixes = [
-                r[0] for r in joined.select("_pfx").distinct().collect()
-            ]
-            joined = joined.sampleBy(
-                "_pfx", {p: frac for p in prefixes}, seed=sample_seed
-            ).drop("_pfx")
-    pdf = joined.orderBy("doc_id").toPandas()
-    if cached is not None:
-        cached.unpersist()
+    try:
+        if train_row_budget is not None:
+            # cache before the budget count: the upstream plan includes
+            # the full feature mapInPandas pass, and without the cache
+            # the count + (possible) prefix-distinct + final toPandas
+            # would each re-execute it from scratch
+            cached = joined.cache()
+            joined = cached
+            n_total = joined.count()
+            if n_total > train_row_budget:
+                frac = train_row_budget / n_total
+                joined = joined.withColumn(
+                    "_pfx", SF.substring("doc_id", 1, 1)
+                )
+                prefixes = [
+                    r[0] for r in joined.select("_pfx").distinct().collect()
+                ]
+                joined = joined.sampleBy(
+                    "_pfx", {p: frac for p in prefixes}, seed=sample_seed
+                ).drop("_pfx")
+        pdf = joined.orderBy("doc_id").toPandas()
+    finally:
+        if cached is not None:
+            cached.unpersist()
     if feature_cols is None:
         feature_cols = [c for c in features_df.columns if c != "doc_id"]
     models = [c for c in loss_cols if c != benchmark]

@@ -90,9 +90,13 @@ def quantile_ar_forecast(
     last_y_train = float(y[-1])
     d = 0
     if n_diffs is not None:
-        d = int(n_diffs)
-        for _ in range(d):
+        applied = 0
+        for _ in range(max(int(n_diffs), 0)):
+            if len(y) <= 1:  # cannot difference further
+                break
             y = np.diff(y)
+            applied += 1
+        d = applied
     elif max_diffs > 0:
         y, d = difference_until_stationary(y, max_diffs)
 

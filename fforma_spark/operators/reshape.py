@@ -66,16 +66,19 @@ def train_to_horizontal(
         "doc_id", F.col("vals").alias("y"), F.col("n").alias("n_y")
     )
     j = xw.join(yw, "doc_id", "outer")
-    # Load-bearing assert: CASE falls through to raise_error when the
-    # lengths differ OR a doc exists on only one side (NULL comparison).
-    # A when(assert_true(..).isNull(), X).otherwise(X) variant is DEAD —
-    # Catalyst collapses identical branches and drops the assert.
-    x_checked = F.when(
-        F.col("n_x") == F.col("n_y"), F.col("X")
-    ).otherwise(F.raise_error(F.lit("ds_x and ds_y not corresponding")))
-    return j.select(
+    # Load-bearing assert AS A FILTER: the CASE falls through to
+    # raise_error when the lengths differ OR a doc exists on only one
+    # side (NULL comparison). It must live in a Filter, not a projected
+    # column — a column-attached check is silently column-PRUNED for
+    # any consumer that doesn't select it, and a
+    # when(assert_true(..).isNull(), X).otherwise(X) variant is dead
+    # code (Catalyst collapses identical branches).
+    guard = F.when(F.col("n_x") == F.col("n_y"), F.lit(True)).otherwise(
+        F.raise_error(F.lit("ds_x and ds_y not corresponding"))
+    )
+    return j.filter(guard).select(
         "doc_id",
-        x_checked.alias("X"),
+        "X",
         "y",
         F.col("n_x").alias("n"),
     )

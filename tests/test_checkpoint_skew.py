@@ -232,6 +232,10 @@ def test_train_to_horizontal_assert_is_load_bearing(spark):
     )
     with pytest.raises(Exception, match="ds_x and ds_y not corresponding"):
         train_to_horizontal(x, y).collect()
+    # the check must survive column pruning: consumers that never
+    # select X still fail (guard lives in a Filter, not a column)
+    with pytest.raises(Exception, match="ds_x and ds_y not corresponding"):
+        train_to_horizontal(x, y).select("doc_id", "y", "n").collect()
 
 
 def test_incremental_refresh_on_changed_fingerprint(spark, panel, tmp_path):

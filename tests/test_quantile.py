@@ -243,3 +243,28 @@ def test_regression_averaging_queries(spark):
             for c in r.asDict():
                 if c not in ("doc_id",):
                     assert np.isfinite(r[c]), (name, r)
+
+
+def test_quantile_ar_n_diffs_edge_values():
+    """n_diffs beyond the series length stops at the last possible
+    diff (no IndexError); negative n_diffs means no differencing and
+    no undiff shift; n_diffs=d matches the max_diffs search that
+    chose d."""
+    import numpy as np
+
+    from fforma_spark.functions.quantile import (
+        difference_until_stationary,
+        quantile_ar_forecast,
+    )
+
+    rng = np.random.default_rng(3)
+    y = rng.normal(50, 3, 40).cumsum()
+    out = quantile_ar_forecast(y, 4, 0.5, n_diffs=100)
+    assert np.all(np.isfinite(out))
+    neg = quantile_ar_forecast(y, 4, 0.5, n_diffs=-1)
+    plain = quantile_ar_forecast(y, 4, 0.5)
+    assert np.allclose(neg, plain)
+    _, d = difference_until_stationary(y, 10)
+    via_search = quantile_ar_forecast(y, 4, 0.5, max_diffs=10)
+    via_ndiffs = quantile_ar_forecast(y, 4, 0.5, n_diffs=d)
+    assert np.allclose(via_search, via_ndiffs)
