@@ -254,6 +254,51 @@ def compressed_blocks(seq_df: DataFrame) -> DataFrame:
     )
 
 
+def dod_bytes_sql(seq_sql: str) -> str:
+    """DuckDB oracle for the EXACT dod-codec compressed byte count.
+
+    The codec's layout is deterministic: 12-byte header (+8 per stored
+    raw head value, up to 2), then per 256-value block of zigzagged
+    delta-of-deltas one width byte + ceil(cnt*width/8) payload bytes,
+    width = bit_length(max(block)). All of that is pure integer math
+    over the token list, so the oracle recomputes it in SQL and the
+    driver value-hashes the codec's real output lengths against it."""
+    d2 = (
+        "CAST(tokens[i] AS BIGINT) + CAST(tokens[i+2] AS BIGINT)"
+        " - 2 * CAST(tokens[i+1] AS BIGINT)"
+    )
+    zz = (
+        f"CASE WHEN ({d2}) >= 0 THEN 2 * ({d2})"
+        f" ELSE -2 * ({d2}) - 1 END"
+    )
+    wmax = "list_max(list_slice(z, b * 256 + 1, least((b + 1) * 256, nz)))"
+    width = (
+        f"len(list_filter(generate_series(0, 39), "
+        f"p -> {wmax} >= CAST(pow(2, p) AS BIGINT)))"
+    )
+    blocks = (
+        f"list_sum(list_transform(generate_series(0, (nz + 255) // 256 - 1), "
+        f"b -> 1 + (least(256, nz - b * 256) * ({width}) + 7) // 8))"
+    )
+    return f"""
+        SELECT doc_id, n_tok,
+               CAST(n_tok AS BIGINT) * 4 AS raw_bytes,
+               CAST(CASE WHEN n_tok = 0 THEN 12
+                         WHEN n_tok = 1 THEN 20
+                         WHEN n_tok = 2 THEN 28
+                         ELSE 28 + {blocks} END AS BIGINT) AS comp_bytes
+        FROM (
+            SELECT doc_id, n_tok, len(z) AS nz, z FROM (
+                SELECT doc_id, n_tok,
+                       list_transform(
+                           generate_series(1, greatest(n_tok - 2, 0)),
+                           i -> CAST({zz} AS BIGINT)) AS z
+                FROM ({seq_sql}) seqs
+            ) zs
+        ) b
+    """
+
+
 def roundtrip_check(seq_df: DataFrame) -> DataFrame:
     """decompress(compress(tokens)) == tokens, per doc — the BASELINE
     per-row invariant, evaluated distributed."""

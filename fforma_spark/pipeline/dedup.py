@@ -482,6 +482,82 @@ def simhash64_sql() -> str:
     """
 
 
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """Per-doc 16-bit signature AND the 64-bit (4×16-chunk) signature
+    in ONE scan→project pass: (doc_id, simhash, sh_0..sh_3).
+
+    The merged production shape — both signature tiers come from the
+    same word-hash lists, so a single projection reads `text` once."""
+    wh16 = F.transform(words_col(), lambda w: h64(w))
+    n = F.size(wh16)
+    sig16 = F.lit(0).cast("long")
+    for b in range(SIMHASH_BITS):
+        mask = 1 << b
+        cnt = F.size(F.filter(wh16, lambda h: h.bitwiseAND(F.lit(mask)) != 0))
+        sig16 = sig16 + F.when(cnt * 2 >= n, F.lit(mask)).otherwise(F.lit(0))
+    wh0 = _word_hashes("")
+    wh1 = _word_hashes("s2#")
+    chunks = []
+    for c in range(SIMHASH64_CHUNKS):
+        src = wh0 if c < 2 else wh1
+        shift = CHUNK_BITS * (c % 2)
+        shifted = F.transform(
+            src,
+            lambda h: (
+                h.bitwiseAND(F.lit(((1 << CHUNK_BITS) - 1) << shift))
+                / F.lit(1 << shift)
+            ).cast("long"),
+        )
+        chunks.append(_chunk_sig(shifted, n).alias(f"sh_{c}"))
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        sig16.alias("simhash"),
+        *chunks,
+    )
+
+
+def simhash_signatures_sql() -> str:
+    """DuckDB twin: join of the two single-tier twins (1 row/doc)."""
+    return f"""
+        SELECT a.doc_id, a.simhash, b.sh_0, b.sh_1, b.sh_2, b.sh_3
+        FROM ({simhash_sql()}) a JOIN ({simhash64_sql()}) b USING (doc_id)
+    """
+
+
+def simhash_neardups(docs: DataFrame, max_dist: int = 3) -> DataFrame:
+    """Both simhash near-dup strategies as one tagged pair table:
+    scheme='sh16_eq'  — identical 16-bit signature (Hamming-0 bucket
+                        collisions; metric = the shared signature);
+    scheme='sh64_ham' — 64-bit signature within Hamming ``max_dist``
+                        via pigeonhole chunk joins (metric = distance).
+    """
+    col16 = simhash_collisions(docs).select(
+        F.lit("sh16_eq").alias("scheme"),
+        "doc_a",
+        "doc_b",
+        F.col("simhash").cast("long").alias("metric"),
+    )
+    ham64 = simhash_hamming_neardup(docs, max_dist=max_dist).select(
+        F.lit("sh64_ham").alias("scheme"),
+        "doc_a",
+        "doc_b",
+        F.col("hamming").cast("long").alias("metric"),
+    )
+    return col16.unionByName(ham64)
+
+
+def simhash_neardups_sql(max_dist: int = 3) -> str:
+    return f"""
+        SELECT 'sh16_eq' AS scheme, doc_a, doc_b,
+               CAST(simhash AS BIGINT) AS metric
+        FROM ({simhash_collisions_sql()}) c
+        UNION ALL
+        SELECT 'sh64_ham' AS scheme, doc_a, doc_b,
+               CAST(hamming AS BIGINT) AS metric
+        FROM ({simhash_hamming_neardup_sql(max_dist)}) h
+    """
+
+
 def simhash_hamming_neardup(docs: DataFrame, max_dist: int = 3) -> DataFrame:
     """Pairs within Hamming distance ``max_dist`` of the 64-bit
     signature. Candidates come from 4 chunk equi-joins (never

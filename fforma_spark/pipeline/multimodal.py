@@ -235,3 +235,42 @@ def extract_features(docs: DataFrame) -> DataFrame:
     t = payload_table(docs)
     src = ensure_parallelism(t.select("doc_id", "payload"))
     return src.mapInPandas(_feature_batches, FEATURES_SCHEMA)
+
+
+FEATURES_THUMBS_SCHEMA = FEATURES_SCHEMA + ", thumb array<float>"
+
+
+def features_with_thumbs(
+    docs: DataFrame, out_h: int = 8, out_w: int = 8
+) -> DataFrame:
+    """Byte features AND the decode→bilinear-resize thumbnail in ONE
+    Arrow-batched mapInPandas pass — each payload is read once per
+    batch instead of once per stage (the shape you want when payloads
+    are MB-scale at 100 TB). Decode is the deterministic
+    :func:`fake_decode` stand-in; everything else is real."""
+    from fforma_spark.util import ensure_parallelism
+
+    cols = [
+        "doc_id", "n_bytes", "byte_mean", "byte_std", "byte_entropy",
+        "printable_ratio", "thumb",
+    ]
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            recs = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                fv = byte_features(raw)
+                fv["doc_id"] = doc_id
+                th = resize_bilinear(fake_decode(raw), out_h, out_w)
+                fv["thumb"] = th.astype(np.float32).ravel().tolist()
+                recs.append(fv)
+            yield (
+                pd.DataFrame(recs, columns=cols)
+                if recs
+                else pd.DataFrame(columns=cols)
+            )
+
+    t = payload_table(docs)
+    src = ensure_parallelism(t.select("doc_id", "payload"))
+    return src.mapInPandas(gen, FEATURES_THUMBS_SCHEMA)

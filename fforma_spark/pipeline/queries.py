@@ -2,6 +2,17 @@
 
 Imported (for side effects) by fforma_spark.queries — every entry lands
 in the same QUERIES/ORACLES dicts the driver reads.
+
+Round-3 restructure: near-duplicate registrations are merged so the
+whole surface (49 queries) fits inside the driver's 50-query
+correctness window — every dedup/similarity/multimodal operator now
+gets a driver oracle row:
+* langid/quality/token_counts/fingerprint → ``text_stats_documents``
+  (one scan instead of four);
+* simhash_documents + simhash64_documents → ``simhash_signatures``;
+* simhash_collisions + simhash_hamming_neardup → ``simhash_neardups``;
+* multimodal_byte_features + multimodal_thumbnails →
+  ``multimodal_features`` (one decode pass).
 """
 
 from __future__ import annotations
@@ -32,36 +43,25 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- text analysis ---------------------------------------------------------
 
 
-@register("langid_documents", T.lang_id_sql())
-def langid_documents(spark, sf_dir):
-    """n-gram/stopword language heuristic — scan→project, no shuffle."""
-    return T.lang_id(_docs(spark, sf_dir))
-
-
 @register(
-    "quality_documents",
+    "text_stats_documents",
     f"""
-    SELECT doc_id, n_words, stop_hits, n_punct,
+    SELECT doc_id, lang_pred, hits_en, hits_es, hits_de, hits_fr,
+           n_words, stop_hits, n_punct,
            {sql_round6('mean_word_len')} AS mean_word_len,
-           {sql_round6('quality')} AS quality
-    FROM ({T.quality_score_sql()}) q
+           {sql_round6('quality')} AS quality,
+           bpe_tokens, fingerprint
+    FROM ({T.text_stats_sql()}) t
     """,
 )
-def quality_documents(spark, sf_dir):
-    df = T.quality_score(_docs(spark, sf_dir))
+def text_stats_documents(spark, sf_dir):
+    """All four text operators — language ID (n-gram/stopword argmax),
+    quality score, token counts (whitespace n_words + BPE-ish regex),
+    rolling-hash fingerprint — in ONE scan→project pass."""
+    df = T.text_stats(_docs(spark, sf_dir))
     return df.withColumn("mean_word_len", stable_round6("mean_word_len")).withColumn(
         "quality", stable_round6("quality")
     )
-
-
-@register("token_counts_documents", T.token_counts_sql())
-def token_counts_documents(spark, sf_dir):
-    return T.token_counts(_docs(spark, sf_dir))
-
-
-@register("fingerprint_documents", T.fingerprint_sql())
-def fingerprint_documents(spark, sf_dir):
-    return T.fingerprint(_docs(spark, sf_dir))
 
 
 # --- deduplication ---------------------------------------------------------
@@ -109,40 +109,42 @@ _NGJ_MAXDF = 100
 @register(
     "ngram_jaccard_neardup",
     f"""
-    SELECT doc_a, doc_b, {sql_round6('jaccard')} AS jaccard
+    SELECT doc_a, doc_b, {sql_round6('jaccard')} AS jaccard,
+           {_NGJ_MAXDF} AS max_df
     FROM ({D.ngram_jaccard_neardup_sql(_J_THRESH, _NGJ_MAXDF)}) n
     """,
 )
 def ngram_jaccard_neardup(spark, sf_dir):
     """EXACT n-gram Jaccard via inverted shingle index with a
     document-frequency cap — recall 1.0 over the capped shingle space
-    (vs the MinHash path's probabilistic recall)."""
+    (vs the MinHash path's probabilistic recall).
+
+    Scores are CAP-RELATIVE: shingles appearing in > max_df docs are
+    excluded from both intersection and union, so pairs whose overlap
+    is mostly stop-shingles score lower than true Jaccard. max_df is
+    surfaced as an output column so downstream consumers see which
+    cap the scores are relative to."""
     out = D.ngram_jaccard_neardup(_docs(spark, sf_dir), _J_THRESH, _NGJ_MAXDF)
-    return out.withColumn("jaccard", stable_round6("jaccard"))
+    return out.withColumn("jaccard", stable_round6("jaccard")).withColumn(
+        "max_df", F.lit(_NGJ_MAXDF)
+    )
 
 
-@register("simhash_documents", D.simhash_sql())
-def simhash_documents(spark, sf_dir):
-    return D.simhash(_docs(spark, sf_dir))
+@register("simhash_signatures", D.simhash_signatures_sql())
+def simhash_signatures(spark, sf_dir):
+    """Per-doc 16-bit simhash AND the 64-bit 4×16-chunk signature
+    (the ≥64-bit tier that keeps bucket counts useful at 10^9+ docs)
+    from one scan of `text`."""
+    return D.simhash_signatures(_docs(spark, sf_dir))
 
 
-@register("simhash64_documents", D.simhash64_sql())
-def simhash64_documents(spark, sf_dir):
-    """64-bit simhash as 4×16-bit chunks — the ≥64-bit signature that
-    keeps bucket counts useful at 10^9+ docs."""
-    return D.simhash64(_docs(spark, sf_dir))
-
-
-@register("simhash_hamming_neardup", D.simhash_hamming_neardup_sql(3))
-def simhash_hamming_neardup(spark, sf_dir):
-    """Hamming-distance ≤3 near-dups over the 64-bit signature via
-    4 chunk equi-joins (pigeonhole-complete, never all-pairs)."""
-    return D.simhash_hamming_neardup(_docs(spark, sf_dir), max_dist=3)
-
-
-@register("simhash_collisions", D.simhash_collisions_sql())
-def simhash_collisions(spark, sf_dir):
-    return D.simhash_collisions(_docs(spark, sf_dir))
+@register("simhash_neardups", D.simhash_neardups_sql(3))
+def simhash_neardups(spark, sf_dir):
+    """Both simhash near-dup strategies, tagged: 16-bit exact-collision
+    pairs (scheme='sh16_eq') and Hamming-≤3 pairs over the 64-bit
+    signature via 4 pigeonhole chunk equi-joins (scheme='sh64_ham') —
+    never all-pairs."""
+    return D.simhash_neardups(_docs(spark, sf_dir), max_dist=3)
 
 
 _COS_THRESH = 0.35
@@ -189,25 +191,33 @@ def ann_lsh_topk(spark, sf_dir):
     return out.withColumn("cos_sim", stable_round6("cos_sim"))
 
 
-_IVF_CELLS, _IVF_NPROBE = 8, 2
+_IVF_CELLS, _IVF_NPROBE, _IVF_LLOYD = 8, 2, 1
 
 
 @register(
     "ann_ivf_topk",
     f"""
     SELECT query_id, cand_id, {sql_round6('cos_sim')} AS cos_sim, rank
-    FROM ({S.ann_ivf_topk_sql(_NQ, _K, _IVF_CELLS, _IVF_NPROBE)}) k
+    FROM ({S.ann_ivf_topk_sql(_NQ, _K, _IVF_CELLS, _IVF_NPROBE,
+                              lloyd_iters=_IVF_LLOYD)}) k
     """,
 )
 def ann_ivf_topk(spark, sf_dir):
-    """IVF ANN: Voronoi-cell partition around deterministic seed
-    centroids, nprobe-cell search — O(Q·N·nprobe/n_cells) candidates."""
-    out = S.ann_ivf_topk(_emb(spark, sf_dir), _NQ, _K, _IVF_CELLS, _IVF_NPROBE)
+    """IVF ANN with one Lloyd refinement iteration: Voronoi cells from
+    deterministic seed centroids → decimal-exact per-cell mean update →
+    nprobe-cell search. Assignment is a zero-shuffle projection with
+    literal centroids (no N×C window shuffle); candidates
+    O(Q·N·nprobe/n_cells)."""
+    out = S.ann_ivf_topk(
+        _emb(spark, sf_dir), _NQ, _K, _IVF_CELLS, _IVF_NPROBE,
+        lloyd_iters=_IVF_LLOYD,
+    )
     return out.withColumn("cos_sim", stable_round6("cos_sim"))
 
 
 @register("ann_lsh_buckets", S.lsh_buckets_sql())
 def ann_lsh_buckets(spark, sf_dir):
+    """LSH bucket histogram — the skew diagnostic for the ANN join."""
     return S.lsh_buckets(_emb(spark, sf_dir))
 
 
@@ -219,13 +229,8 @@ def multimodal_frame_index(spark, sf_dir):
     return M.frame_index(_docs(spark, sf_dir))
 
 
-@register("multimodal_byte_features")  # rows-only: numpy oracle in pytest
-def multimodal_byte_features(spark, sf_dir):
-    return M.extract_features(_docs(spark, sf_dir))
-
-
-@register("multimodal_thumbnails")  # rows-only: numpy oracle in pytest
-def multimodal_thumbnails(spark, sf_dir):
-    """decode(stand-in) → REAL bilinear resize to 8×8 thumbnails,
-    Arrow-batched mapInPandas (pipeline/multimodal.py::thumbnails)."""
-    return M.thumbnails(_docs(spark, sf_dir))
+@register("multimodal_features")  # rows-only: numpy oracle in pytest
+def multimodal_features(spark, sf_dir):
+    """Byte features + decode(stand-in)→REAL bilinear 8×8 thumbnail in
+    one Arrow-batched mapInPandas pass (each payload read once)."""
+    return M.features_with_thumbs(_docs(spark, sf_dir))

@@ -162,55 +162,157 @@ def ann_lsh_topk(emb: DataFrame, n_queries: int, k: int) -> DataFrame:
     )
 
 
+def _seed_centroids(e: DataFrame, n_queries: int, n_cells: int) -> DataFrame:
+    """Deterministic seed centroids: the embeddings of vec_ids
+    [n_queries, n_queries + n_cells)."""
+    return e.filter(
+        (F.col("vec_id") >= n_queries) & (F.col("vec_id") < n_queries + n_cells)
+    ).select(
+        (F.col("vec_id") - n_queries).alias("cell_id"),
+        F.col("embedding").alias("c_emb"),
+    )
+
+
+def _assign_cells(e: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-cell assignment for every vector as a ZERO-SHUFFLE
+    scan→project: the C centroids are collected to the driver
+    (control-plane — C is small by construction) and inlined as
+    literals, so the argmax over cells is a single array_max over C
+    per-row cosine folds. No crossJoin, no window, no aggregation, no
+    exchange — the round-2 rank-1 row_number window shuffled all N×C
+    scored rows on vec_id; this shuffles nothing. (This is how
+    broadcast K-means assignment works at any scale: centroids ride
+    the closure, vectors never move.)
+
+    Ties on c_sim break to the lowest cell_id via the lexicographic
+    (c_sim, -cell_id) struct ordering — same order as the oracle's
+    row_number. Float math matches the DuckDB twin exactly: per-cell
+    ||c||² is pre-folded left-to-right in Python (same order as
+    list_reduce), and the per-row fold is the shared zip_with/aggregate
+    form."""
+    cent_rows = sorted(cents.collect(), key=lambda r: r["cell_id"])
+    aa = _dot_self(F.col("embedding"))
+    opts = []
+    for row in cent_rows:
+        cid = int(row["cell_id"])
+        cvec = [float(v) for v in row["c_emb"]]
+        bb = 0.0
+        for v in cvec:  # left fold — matches list_reduce order
+            bb += v * v
+        clit = F.array(*[F.lit(v) for v in cvec])
+        dot_ab = F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                clit,
+                lambda x, y: x.cast("double") * y.cast("double"),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        sim = dot_ab / F.sqrt(F.col("_aa") * F.lit(bb))
+        opts.append(
+            F.struct(
+                sim.alias("s"),
+                F.lit(-cid).cast("long").alias("t"),
+                F.lit(cid).cast("long").alias("cell_id"),
+            )
+        )
+    return (
+        e.withColumn("_aa", aa)
+        .withColumn("_best", F.array_max(F.array(*opts)))
+        .select(
+            "vec_id",
+            F.col("_best.cell_id").alias("cell_id"),
+            "embedding",
+        )
+    )
+
+
+def _dot_self(a: Column) -> Column:
+    """dot(a, a) with the shared left-fold order."""
+    return F.aggregate(
+        F.zip_with(a, a, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def lloyd_refine(e: DataFrame, cents: DataFrame) -> DataFrame:
+    """One Lloyd iteration: re-assign every vector to its nearest cell,
+    then recompute each centroid as the element-wise mean of its
+    members. Empty cells keep their previous centroid.
+
+    Cross-engine determinism: per-dimension sums run in DECIMAL(27,10)
+    (exact, order-independent) and only the final mean divides in
+    double — so Spark and the DuckDB oracle produce bit-identical
+    centroids regardless of aggregation order."""
+    assign = _assign_cells(e, cents)
+    pos = assign.select(
+        "cell_id", F.posexplode("embedding").alias("dim", "x")
+    )
+    means = pos.groupBy("cell_id", "dim").agg(
+        (
+            # float → double first: DuckDB's direct FLOAT→DECIMAL cast
+            # goes through the float's short decimal repr; the
+            # double-mediated cast is identical on both engines
+            F.sum(F.col("x").cast("double").cast("decimal(27,10)"))
+            .cast("double")
+            / F.count("*")
+        ).alias("m")
+    )
+    new = means.groupBy("cell_id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("dim", "m"))),
+            lambda s: s["m"],
+        ).alias("new_emb")
+    )
+    return cents.join(F.broadcast(new), "cell_id", "left").select(
+        "cell_id", F.coalesce("new_emb", "c_emb").alias("c_emb")
+    )
+
+
 def ann_ivf_topk(
     emb: DataFrame,
     n_queries: int,
     k: int,
     n_cells: int = 8,
     nprobe: int = 2,
+    lloyd_iters: int = 0,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: partition vectors into ``n_cells``
-    Voronoi cells around deterministic seed centroids (the embeddings
-    of vec_ids [n_queries, n_queries+n_cells)), then search each query
+    Voronoi cells around deterministic seed centroids, optionally
+    refined by ``lloyd_iters`` Lloyd iterations, then search each query
     only inside its ``nprobe`` nearest cells.
 
-    Scale shape: the assignment pass is a scan × broadcast(n_cells)
-    project — O(N·C) flops, no shuffle; the search join shuffles on
-    cell_id only, so expected candidate volume is Q·N·(nprobe/n_cells).
-    Centroid *training* (Lloyd iterations = re-assign + per-cell mean)
-    is orthogonal and would reuse exactly this assignment join; seeds
-    keep the operator deterministic for the cross-engine oracle.
-    """
+    Scale shape: assignment is a ZERO-SHUFFLE projection against
+    literal centroids (see _assign_cells), so the only exchange in the
+    search path is the cell_id join — expected candidate volume
+    Q·N·(nprobe/n_cells). Lloyd training shuffles N·D (cell_id, dim)
+    partial sums per iteration (decimal-exact, see lloyd_refine) — at
+    10^12 vectors you'd run it on a sample, which changes nothing
+    structurally."""
     e = emb.select(F.col("vec_id").cast("long").alias("vec_id"), "embedding")
-    cents = e.filter(
-        (F.col("vec_id") >= n_queries) & (F.col("vec_id") < n_queries + n_cells)
-    ).select(
-        (F.col("vec_id") - n_queries).alias("cell_id"),
-        F.col("embedding").alias("c_emb"),
-    )
-    # nearest-cell assignment for every vector (rank-1 over C cells)
-    scored_cells = (
-        e.crossJoin(F.broadcast(cents))
-        .select(
-            "vec_id",
-            "embedding",
-            "cell_id",
-            cosine(F.col("embedding"), F.col("c_emb")).alias("c_sim"),
-        )
-    )
-    wv = W.partitionBy("vec_id").orderBy(F.desc("c_sim"), "cell_id")
-    ranked_cells = scored_cells.withColumn("crank", F.row_number().over(wv))
-    assign = ranked_cells.filter(F.col("crank") == 1).select(
+    cents = _seed_centroids(e, n_queries, n_cells)
+    for _ in range(lloyd_iters):
+        cents = lloyd_refine(e, cents)
+    assign = _assign_cells(e, cents).select(
         F.col("vec_id").alias("cand_id"),
         F.col("embedding").alias("c_embedding"),
         "cell_id",
     )
-    probes = ranked_cells.filter(
-        (F.col("vec_id") < n_queries) & (F.col("crank") <= nprobe)
-    ).select(
+    # probe ranking is a window over Q×C rows only (queries are tiny)
+    q = e.filter(F.col("vec_id") < n_queries)
+    q_scored = q.crossJoin(F.broadcast(cents)).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         "cell_id",
+        cosine(F.col("embedding"), F.col("c_emb")).alias("c_sim"),
+    )
+    wq = W.partitionBy("query_id").orderBy(F.desc("c_sim"), "cell_id")
+    probes = (
+        q_scored.withColumn("crank", F.row_number().over(wq))
+        .filter(F.col("crank") <= nprobe)
+        .select("query_id", "q_emb", "cell_id")
     )
     scored = (
         F.broadcast(probes)
@@ -231,23 +333,60 @@ def ann_ivf_topk(
 
 
 def ann_ivf_topk_sql(
-    n_queries: int, k: int, n_cells: int = 8, nprobe: int = 2
+    n_queries: int,
+    k: int,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    lloyd_iters: int = 0,
 ) -> str:
-    c_sim = cosine_sql("e.embedding", "c.embedding")
+    c_sim = cosine_sql("e.embedding", "c.c_emb")
     cos = cosine_sql("q.q_emb", "a.c_embedding")
-    return f"""
-        WITH cents AS (
-            SELECT vec_id - {n_queries} AS cell_id, embedding
+    cents_cte = f"""
+        cents_0 AS (
+            SELECT vec_id - {n_queries} AS cell_id, embedding AS c_emb
             FROM embeddings
             WHERE vec_id >= {n_queries} AND vec_id < {n_queries + n_cells}
+        )"""
+    prev = "cents_0"
+    for it in range(lloyd_iters):
+        c_sim_it = cosine_sql("e.embedding", "c.c_emb")
+        cents_cte += f""",
+        assign_{it} AS (
+            SELECT vec_id, embedding, cell_id FROM (
+                SELECT e.vec_id, e.embedding, c.cell_id,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {c_sim_it} DESC, c.cell_id
+                       ) AS crank
+                FROM embeddings e CROSS JOIN {prev} c
+            ) r WHERE crank = 1
         ),
+        means_{it} AS (
+            SELECT cell_id, g.i - 1 AS dim,
+                   CAST(sum(CAST(CAST(embedding[g.i] AS DOUBLE) AS DECIMAL(27,10))) AS DOUBLE)
+                   / count(*) AS m
+            FROM assign_{it},
+                 UNNEST(generate_series(1, len(embedding))) AS g(i)
+            GROUP BY cell_id, g.i
+        ),
+        newc_{it} AS (
+            SELECT cell_id, list(m ORDER BY dim) AS new_emb
+            FROM means_{it} GROUP BY cell_id
+        ),
+        cents_{it + 1} AS (
+            SELECT p.cell_id, coalesce(n.new_emb, p.c_emb) AS c_emb
+            FROM {prev} p LEFT JOIN newc_{it} n USING (cell_id)
+        )"""
+        prev = f"cents_{it + 1}"
+    return f"""
+        WITH {cents_cte},
         ranked_cells AS (
             SELECT e.vec_id, e.embedding, c.cell_id,
                    row_number() OVER (
                        PARTITION BY e.vec_id
                        ORDER BY {c_sim} DESC, c.cell_id
                    ) AS crank
-            FROM embeddings e CROSS JOIN cents c
+            FROM embeddings e CROSS JOIN {prev} c
         ),
         assign AS (
             SELECT vec_id AS cand_id, embedding AS c_embedding, cell_id

@@ -175,3 +175,64 @@ def fingerprint_sql() -> str:
                            (acc, x) -> (acc * 31 + x) % {MOD}) AS fingerprint
         FROM documents
     """
+
+
+def text_stats(docs: DataFrame) -> DataFrame:
+    """All four text operators (language ID, quality scoring, token
+    counting, fingerprinting) in ONE scan→project pass — a single
+    whole-stage-codegen stage, zero shuffles, one read of `text`.
+
+    Column semantics are identical to the individual operators above;
+    this is the production shape (you never want four scans of a 100 TB
+    corpus when one projection computes every per-doc text stat)."""
+    w = words_col()
+    counts = {lang_: _stop_count(w, STOPWORDS[lang_]) for lang_ in LANGS}
+    best = F.lit("und")
+    best_n = F.lit(0)
+    for lang_ in LANGS:
+        take = counts[lang_] > best_n
+        best = F.when(take, F.lit(lang_)).otherwise(best)
+        best_n = F.when(take, counts[lang_]).otherwise(best_n)
+    n_words = F.size(w)
+    stop_hits = _stop_count(w, STOPWORDS["en"])
+    n_chars = F.length("text")
+    punct = n_chars - F.length(F.regexp_replace("text", "[^A-Za-z0-9 ]", ""))
+    mean_wlen = (n_chars - (n_words - 1)) / n_words
+    score = (
+        0.3 * F.least(n_words / F.lit(100.0), F.lit(1.0))
+        + 0.4 * F.least((stop_hits / n_words) * 5.0, F.lit(1.0))
+        + 0.3 * (1.0 - F.least((punct / n_chars) * 10.0, F.lit(1.0)))
+    )
+    wh = F.transform(w, lambda x: h64(x) % MOD)
+    fp = F.aggregate(
+        wh, F.lit(0).cast("long"), lambda acc, x: (acc * 31 + x) % MOD
+    )
+    return docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        best.alias("lang_pred"),
+        *[counts[lang_].alias(f"hits_{lang_}") for lang_ in LANGS],
+        n_words.alias("n_words"),
+        stop_hits.alias("stop_hits"),
+        punct.alias("n_punct"),
+        mean_wlen.alias("mean_word_len"),
+        score.alias("quality"),
+        F.size(F.expr(f"regexp_extract_all(text, '{BPE_RE}', 0)")).alias(
+            "bpe_tokens"
+        ),
+        fp.alias("fingerprint"),
+    )
+
+
+def text_stats_sql() -> str:
+    """DuckDB twin of :func:`text_stats` — joins the four single-op
+    twins on doc_id (each is 1 row/doc; correctness-only path)."""
+    return f"""
+        SELECT l.doc_id, l.lang_pred,
+               l.hits_en, l.hits_es, l.hits_de, l.hits_fr,
+               q.n_words, q.stop_hits, q.n_punct, q.mean_word_len,
+               q.quality, t.bpe_tokens, f.fingerprint
+        FROM ({lang_id_sql()}) l
+        JOIN ({quality_score_sql()}) q USING (doc_id)
+        JOIN ({token_counts_sql()}) t USING (doc_id)
+        JOIN ({fingerprint_sql()}) f USING (doc_id)
+    """

@@ -153,15 +153,27 @@ def retention_t1_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, n_tok,
            CAST(list_min(tokens) AS INT) AS tok_min,
            CAST(list_max(tokens) AS INT) AS tok_max,
-           CAST(list_sum(tokens) AS BIGINT) AS tok_sum
+           CAST(list_sum(tokens) AS BIGINT) AS tok_sum,
+           len(list_filter(tokens, v -> v > 0)) AS n_demand,
+           CAST(list_sum(list_transform(tokens, v -> CASE WHEN v <> 0 THEN 1 ELSE 0 END)) AS BIGINT) AS n_nonzero,
+           len(tokens) - len(list_filter(tokens, v -> v > 0)) AS n_zero
     FROM ({SEQUENCES_FROM_DOCUMENTS_SQL}) seqs
     WHERE n_tok > 0
     """,
 )
 def seq_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-sequence token stats straight off the array column — no
-    explode, no shuffle (per-group count/min/max: SURVEY §2.4)."""
+    explode, no shuffle (per-group count/min/max: SURVEY §2.4) — plus
+    the sparse-series support ops (demand/probability counts,
+    fforma/base/_models.py:74-89,601-620) as array higher-order
+    functions, all in one projection."""
     seq = sequences_from_documents(spark, sf_dir)
+    demand = F.filter("tokens", lambda v: v > 0)
+    nonzero = F.aggregate(
+        F.transform("tokens", lambda v: F.when(v != 0, 1).otherwise(0)),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
     return seq.filter(F.col("n_tok") > 0).select(
         "doc_id",
         "n_tok",
@@ -170,6 +182,9 @@ def seq_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.aggregate(
             "tokens", F.lit(0).cast("long"), lambda acc, x: acc + x
         ).alias("tok_sum"),
+        F.size(demand).alias("n_demand"),
+        nonzero.alias("n_nonzero"),
+        (F.size("tokens") - F.size(demand)).alias("n_zero"),
     )
 
 
@@ -185,23 +200,48 @@ from fforma_spark.functions.features import (  # noqa: E402
 _FEATURE_ROUND = ["mean", "variance", "trend_slope", "x_acf1"]
 
 
+_DOC_PANEL_SQL_EARLY = """
+    SELECT doc_id, CAST(g.i - 1 AS BIGINT) AS pos, CAST(tokens[g.i] AS DOUBLE) AS val
+    FROM ({seqs}) seqs,
+         UNNEST(generate_series(1, len(tokens))) AS g(i)
+""".format(seqs=SEQUENCES_FROM_DOCUMENTS_SQL)
+
+
+def _features_sql_rounded(panel_sql: str, src: str) -> str:
+    return f"""
+    SELECT '{src}' AS src, doc_id, series_length,
+           floor((mean) * 1000000.0 + 0.5) / 1000000.0 AS mean,
+           floor((variance) * 1000000.0 + 0.5) / 1000000.0 AS variance,
+           floor((trend_slope) * 1000000.0 + 0.5) / 1000000.0 AS trend_slope,
+           floor((x_acf1) * 1000000.0 + 0.5) / 1000000.0 AS x_acf1,
+           crossing_points
+    FROM ({features_sql_oracle(panel_sql)})
+    """
+
+
 @register(
     "features_sql_events",
     f"""
-    SELECT doc_id, series_length, floor((mean) * 1000000.0 + 0.5) / 1000000.0 AS mean,
-           floor((variance) * 1000000.0 + 0.5) / 1000000.0 AS variance, floor((trend_slope) * 1000000.0 + 0.5) / 1000000.0 AS trend_slope,
-           floor((x_acf1) * 1000000.0 + 0.5) / 1000000.0 AS x_acf1, crossing_points
-    FROM ({features_sql_oracle(PANEL_FROM_EVENTS_SQL)})
+    {_features_sql_rounded(PANEL_FROM_EVENTS_SQL, 'events')}
+    UNION ALL
+    {_features_sql_rounded(_DOC_PANEL_SQL_EARLY, 'documents')}
     """,
 )
 def features_sql_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-series closed-form features (trend slope = covar_pop/var_pop
     == np.polyfit deg-1, fforma/base/_models.py:22-30; acf1 mean-
     centered biased-denominator, :136-152; crossing_points over the
-    median)."""
-    return _round6(
+    median) over BOTH canonical inputs — the events-derived panel and
+    the documents token panel — tagged by src. One oracle row proves
+    the Catalyst feature twin on both table shapes."""
+    ev = _round6(
         features_sql(panel_from_events(spark, sf_dir)), _FEATURE_ROUND
-    )
+    ).select(F.lit("events").alias("src"), "*")
+    docs = _round6(
+        features_sql(explode_panel(sequences_from_documents(spark, sf_dir))),
+        _FEATURE_ROUND,
+    ).select(F.lit("documents").alias("src"), "*")
+    return ev.unionByName(docs)
 
 
 # ---------------------------------------------------------------------------
@@ -385,8 +425,11 @@ def _eval_events_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 register("eval_metrics_events", _SQL_EVAL)(_eval_events_spark)
 
 
+_FC4 = ["naive_forec", "snaive_forec", "rwd_forec", "avg_forec"]
+
+
 @register(
-    "softmin_ensemble_events",
+    "ensembles_events",
     f"""
     WITH ev AS ({_SQL_EVAL}),
     fc AS ({_SQL_FC}),
@@ -398,15 +441,25 @@ register("eval_metrics_events", _SQL_EVAL)(_eval_events_spark)
         FROM ev
     )
     SELECT f.doc_id, f.pos,
-           floor((w.w_naive * f.naive_forec + (1 - w.w_naive) * f.snaive_forec) * 1000000.0 + 0.5) / 1000000.0 AS y_hat
+           {sql_round6("(naive_forec + snaive_forec + rwd_forec + avg_forec) / 4")}
+               AS y_mean,
+           {sql_round6(
+               "(naive_forec + snaive_forec + rwd_forec + avg_forec"
+               " - least(naive_forec, snaive_forec, rwd_forec, avg_forec)"
+               " - greatest(naive_forec, snaive_forec, rwd_forec, avg_forec)) / 2"
+           )} AS y_median,
+           floor((w.w_naive * f.naive_forec + (1 - w.w_naive) * f.snaive_forec) * 1000000.0 + 0.5) / 1000000.0 AS y_softmin
     FROM fc f JOIN w USING (doc_id)
     """,
 )
-def softmin_ensemble_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """softmax(-loss) weights (fforma/meta_learner/_basics.py:66-103)
-    applied as the weighted rollup y_hat = Σ w·pred
-    (fforma/meta_learner/_XGBoost.py:149-161) — broadcast join of the
-    1-row-per-series weight table onto the prediction panel."""
+def ensembles_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three closed-form MetaLearner ensembles in one panel:
+    row-mean and row-median (fforma/meta_learner/_basics.py:12-64; the
+    4-column median is (sum-min-max)/2, identical arithmetic on both
+    engines) plus softmax(-loss) weights (:66-103) applied as the
+    weighted rollup y_hat = Σ w·pred (_XGBoost.py:149-161) — a
+    broadcast join of the 1-row-per-series weight table onto the
+    prediction panel."""
     from fforma_spark.functions.ensemble import softmin_weights, weighted_rollup
 
     ev = _eval_events_spark(spark, sf_dir)
@@ -415,13 +468,30 @@ def softmin_ensemble_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["naive_smape", "snaive_smape"],
     )
     fc = _forecasts_events_spark(spark, sf_dir)
-    out = weighted_rollup(
+    soft = weighted_rollup(
         fc,
         w,
         ["naive_forec", "snaive_forec"],
         ["naive_smape", "snaive_smape"],
+    ).select("doc_id", "pos", F.col("y_hat").alias("y_softmin"))
+    s = sum((F.col(c) for c in _FC4), F.lit(0.0))
+    mm = fc.select(
+        "doc_id",
+        "pos",
+        stable_round6(s / 4).alias("y_mean"),
+        stable_round6(
+            (
+                s
+                - F.least(*[F.col(c) for c in _FC4])
+                - F.greatest(*[F.col(c) for c in _FC4])
+            )
+            / 2
+        ).alias("y_median"),
     )
-    return out.withColumn("y_hat", stable_round6("y_hat"))
+    return mm.join(soft, ["doc_id", "pos"]).select(
+        "doc_id", "pos", "y_mean", "y_median",
+        stable_round6("y_softmin").alias("y_softmin"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -510,17 +580,32 @@ def outlier_iqr_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "minlen_filter_documents",
+    "filters_documents",
     f"""
-    SELECT doc_id, n_tok FROM ({SEQUENCES_FROM_DOCUMENTS_SQL}) seqs
-    WHERE n_tok >= 24
+    SELECT doc_id, source, n_tok,
+           n_tok >= 24 AS minlen_ok,
+           source LIKE 'src1%' AS prefix_ok
+    FROM ({SEQUENCES_FROM_DOCUMENTS_SQL}) seqs
+    WHERE n_tok >= 24 OR source LIKE 'src1%'
     """,
 )
-def minlen_filter_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Min-length series filter (fforma/utils/utils.py:44-52) directly
-    on the n_tok column — parquet-pushed-down predicate."""
+def filters_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stored-column predicates in one scan: the min-length series
+    filter (fforma/utils/utils.py:44-52) on n_tok and the string-prefix
+    predicate (str.startswith group filters,
+    fforma/experiments/meta_results_r_data.py:132-137) on source — the
+    OR of both pushes down to the parquet scan as one compound filter,
+    with a flag column per predicate."""
     seq = sequences_from_documents(spark, sf_dir)
-    return seq.filter(F.col("n_tok") >= 24).select("doc_id", "n_tok")
+    minlen = F.col("n_tok") >= 24
+    prefix = F.col("source").startswith("src1")
+    return seq.filter(minlen | prefix).select(
+        "doc_id",
+        "source",
+        "n_tok",
+        minlen.alias("minlen_ok"),
+        prefix.alias("prefix_ok"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -528,31 +613,91 @@ def minlen_filter_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+from fforma_spark.functions.compress import dod_bytes_sql  # noqa: E402
+
+
 @register(
-    "compress_roundtrip_documents",
+    "codec_roundtrip_stats",
     f"""
-    SELECT doc_id, TRUE AS ok
-    FROM ({SEQUENCES_FROM_DOCUMENTS_SQL}) seqs
+    SELECT 'dod' AS src, doc_id, TRUE AS ok, raw_bytes, comp_bytes
+    FROM ({dod_bytes_sql(SEQUENCES_FROM_DOCUMENTS_SQL)}) d
+    UNION ALL
+    SELECT 'xor' AS src, doc_id, TRUE AS ok,
+           CAST(count(*) AS BIGINT) * 8 AS raw_bytes,
+           CAST(NULL AS BIGINT) AS comp_bytes
+    FROM ({rollup_tier_sql(_T1_BUCKET, PANEL_FROM_EVENTS_SQL)}) t
+    GROUP BY doc_id
     """,
 )
-def compress_roundtrip_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-row invariant decompress(compress(tokens)) == tokens over
-    real text-derived sequences. The oracle is the identity truth
-    table — any codec defect flips ok to false and breaks the hash."""
-    from fforma_spark.functions.compress import roundtrip_check
+def codec_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole compression tier, driver-oracled in one query:
 
-    seq = sequences_from_documents(spark, sf_dir)
-    return roundtrip_check(seq)
+    * src='dod' — per-doc invariant decompress(compress(tokens)) ==
+      tokens over the real text-derived int sequences, PLUS the exact
+      compressed byte count: the oracle recomputes the codec's
+      deterministic block layout in pure SQL (compress.dod_bytes_sql),
+      so a codec defect flips `ok` AND any layout drift breaks the
+      byte-count hash.
+    * src='xor' — Gorilla-XOR float codec round-trip on the T1 vmean
+      series per doc (byte counts are bit-pattern-dependent, not
+      SQL-expressible — NULL on both engines).
 
-
-@register("compression_stats_documents")  # rows-only: byte counts are codec-internal
-def compression_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from fforma_spark.functions.compress import compressed_blocks
-
-    seq = sequences_from_documents(spark, sf_dir)
-    return compressed_blocks(seq).select(
-        "doc_id", "n_tok", "raw_bytes", "comp_bytes"
+    One compress pass serves both the invariant and the stats (the
+    block is compressed once, decompressed once)."""
+    from fforma_spark.functions.compress import (
+        compress_floats_udf,
+        compress_tokens_udf,
+        decompress_floats_udf,
+        decompress_tokens_udf,
     )
+    from fforma_spark.util import ensure_parallelism
+
+    seq = ensure_parallelism(sequences_from_documents(spark, sf_dir))
+    cb = seq.select(
+        "doc_id",
+        "tokens",
+        "n_tok",
+        compress_tokens_udf()("tokens").alias("block"),
+    ).withColumn("_rt", decompress_tokens_udf()("block"))
+    dod = cb.select(
+        F.lit("dod").alias("src"),
+        "doc_id",
+        (
+            (F.size("tokens") == F.size("_rt"))
+            & F.forall(
+                F.zip_with("tokens", "_rt", lambda a, b: a.eqNullSafe(b)),
+                lambda x: x,
+            )
+        ).alias("ok"),
+        (F.col("n_tok").cast("long") * 4).alias("raw_bytes"),
+        F.length("block").cast("long").alias("comp_bytes"),
+    )
+    t1 = rollup_tier(panel_from_events(spark, sf_dir), _T1_BUCKET)
+    series = t1.groupBy("doc_id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("bucket", "vmean"))),
+            lambda s: s["vmean"],
+        ).alias("vals")
+    )
+    rt = series.select(
+        "doc_id",
+        "vals",
+        decompress_floats_udf()(compress_floats_udf()("vals")).alias("_rt"),
+    )
+    xor = rt.select(
+        F.lit("xor").alias("src"),
+        "doc_id",
+        (
+            (F.size("vals") == F.size("_rt"))
+            & F.forall(
+                F.zip_with("vals", "_rt", lambda a, b: a.eqNullSafe(b)),
+                lambda x: x,
+            )
+        ).alias("ok"),
+        (F.size("vals").cast("long") * 8).alias("raw_bytes"),
+        F.lit(None).cast("long").alias("comp_bytes"),
+    )
+    return dod.unionByName(xor)
 
 
 # ---------------------------------------------------------------------------
@@ -567,105 +712,47 @@ from fforma_spark.util import sql_round, stable_round  # noqa: E402
 
 
 @register(
-    "rolling_mean_events",
+    "window_ops_events",
     f"""
     SELECT doc_id, pos,
            {sql_round("avg(val) OVER (PARTITION BY doc_id ORDER BY pos "
-                      "ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)", 4)} AS cma
-    FROM ({PANEL_FROM_EVENTS_SQL}) panel
-    """,
-)
-def rolling_mean_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Centered rolling mean (classical-decomposition MA,
-    fforma/base/_models.py:91-116) as a frame window. 4dp display
-    rounding: window-frame float order differs across engines."""
-    panel = panel_from_events(spark, sf_dir)
-    w = W.partitionBy("doc_id").orderBy("pos").rowsBetween(-2, 2)
-    return panel.select(
-        "doc_id", "pos", stable_round(F.avg("val").over(w), 4).alias("cma")
-    )
-
-
-@register(
-    "cumsum_events",
-    f"""
-    SELECT doc_id, pos,
+                      "ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)", 4)} AS cma,
            {sql_round("sum(val) OVER (PARTITION BY doc_id ORDER BY pos "
-                      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)", 4)} AS cum
-    FROM ({PANEL_FROM_EVENTS_SQL}) panel
-    """,
-)
-def cumsum_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Running cumulative sum (undifferencing,
-    fforma/base/_quantile_models.py:221-223). 4dp display rounding —
-    see rolling_mean_events."""
-    panel = panel_from_events(spark, sf_dir)
-    w = (
-        W.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    return panel.select(
-        "doc_id", "pos", stable_round(F.sum("val").over(w), 4).alias("cum")
-    )
-
-
-@register(
-    "lag_delta_events",
-    f"""
-    SELECT doc_id, pos,
+                      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)", 4)} AS cum,
            {sql_round6("val - lag(val) OVER (PARTITION BY doc_id ORDER BY pos)")}
                AS delta
     FROM ({PANEL_FROM_EVENTS_SQL}) panel
     """,
 )
-def lag_delta_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """First difference via lag (rolling-origin shift analog,
-    fforma/experiments/business/ensemble_forecasts.py:67)."""
+def window_ops_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three per-series frame-window operators in ONE pass over one
+    (doc_id, pos) sort — centered rolling mean (classical-decomposition
+    MA, fforma/base/_models.py:91-116), running cumulative sum
+    (undifferencing, fforma/base/_quantile_models.py:221-223), and
+    first difference via lag (rolling-origin shift analog,
+    fforma/experiments/business/ensemble_forecasts.py:67). Sharing one
+    window spec means Catalyst plans a single sort+shuffle for all
+    three. 4dp display rounding on the frame aggregates: float order
+    within a frame differs across engines."""
     panel = panel_from_events(spark, sf_dir)
-    w = W.partitionBy("doc_id").orderBy("pos")
+    wf = W.partitionBy("doc_id").orderBy("pos")
     return panel.select(
         "doc_id",
         "pos",
-        stable_round6(F.col("val") - F.lag("val").over(w)).alias("delta"),
+        stable_round(F.avg("val").over(wf.rowsBetween(-2, 2)), 4).alias("cma"),
+        stable_round(
+            F.sum("val").over(
+                wf.rowsBetween(W.unboundedPreceding, W.currentRow)
+            ),
+            4,
+        ).alias("cum"),
+        stable_round6(F.col("val") - F.lag("val").over(wf)).alias("delta"),
     )
 
 
 # ---------------------------------------------------------------------------
-# Closed-form ensembles + win counts (SURVEY §2.9) — SQL-expressible
+# Closed-form win counts (SURVEY §2.9) — SQL-expressible
 # ---------------------------------------------------------------------------
-
-_FC4 = ["naive_forec", "snaive_forec", "rwd_forec", "avg_forec"]
-
-
-@register(
-    "mean_median_ensemble_events",
-    f"""
-    SELECT doc_id, pos,
-           {sql_round6("(naive_forec + snaive_forec + rwd_forec + avg_forec) / 4")}
-               AS y_mean,
-           {sql_round6(
-               "(naive_forec + snaive_forec + rwd_forec + avg_forec"
-               " - least(naive_forec, snaive_forec, rwd_forec, avg_forec)"
-               " - greatest(naive_forec, snaive_forec, rwd_forec, avg_forec)) / 2"
-           )} AS y_median
-    FROM ({_SQL_FC}) fc
-    """,
-)
-def mean_median_ensemble_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Row-mean and row-median ensembles
-    (fforma/meta_learner/_basics.py:12-64). The 4-column median is
-    (sum - min - max)/2 — identical arithmetic on both engines."""
-    fc = _forecasts_events_spark(spark, sf_dir)
-    s = sum((F.col(c) for c in _FC4), F.lit(0.0))
-    return fc.select(
-        "doc_id",
-        "pos",
-        stable_round6(s / 4).alias("y_mean"),
-        stable_round6(
-            (s - F.least(*[F.col(c) for c in _FC4]) - F.greatest(*[F.col(c) for c in _FC4])) / 2
-        ).alias("y_median"),
-    )
 
 
 @register(
@@ -1001,7 +1088,7 @@ _TAU = 0.8
 
 
 @register(
-    "pinball_rmsse_events",
+    "quantile_eval_events",
     f"""
     WITH fc AS ({_SQL_FC}),
     panel AS ({PANEL_FROM_EVENTS_SQL}),
@@ -1024,17 +1111,22 @@ _TAU = 0.8
     )
     SELECT t.doc_id,
            {sql_round6(f"avg(CASE WHEN t.y >= f.naive_forec THEN {_TAU} * (t.y - f.naive_forec) ELSE ({_TAU} - 1) * (t.y - f.naive_forec) END)")} AS naive_pinball,
-           {sql_round6("CASE WHEN any_value(s2.mse_scale) > 0 THEN 100 * sqrt(avg((t.y - f.naive_forec) * (t.y - f.naive_forec)) / any_value(s2.mse_scale)) END")} AS naive_rmsse
+           {sql_round6("CASE WHEN any_value(s2.mse_scale) > 0 THEN 100 * sqrt(avg((t.y - f.naive_forec) * (t.y - f.naive_forec)) / any_value(s2.mse_scale)) END")} AS naive_rmsse,
+           {sql_round6("avg(CASE WHEN t.y <= f.naive_forec THEN 1.0 ELSE 0.0 END)")} AS naive_calibration,
+           {sql_round6(f"2 * CASE WHEN sum(abs(t.y)) <> 0 THEN sum(CASE WHEN t.y >= f.naive_forec THEN {_TAU} * (t.y - f.naive_forec) ELSE ({_TAU} - 1) * (t.y - f.naive_forec) END) / sum(abs(t.y)) ELSE 0.0 END")} AS naive_wpinball
     FROM truth t
     JOIN fc f USING (doc_id, pos)
     JOIN scale2 s2 ON s2.doc_id = t.doc_id
     GROUP BY t.doc_id
     """,
 )
-def pinball_rmsse_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pinball loss at τ=0.8 (fforma/metrics/numpy/metrics.py:245-270)
-    and RMSSE (:182-205, scale = in-sample seasonal-naive MSE) per
-    series for the Naive forecast — Catalyst aggregates only."""
+def quantile_eval_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The four per-series quantile-loss metrics at τ=0.8 for the Naive
+    forecast in ONE truth⋈fc⋈scale aggregate — pinball loss
+    (fforma/metrics/numpy/metrics.py:245-270), RMSSE (:182-205, scale =
+    in-sample seasonal-naive MSE), quantile calibration (:272-296:
+    fraction of obs with y ≤ ŷ), and the scaled weighted pinball
+    (:298-327: 2·Σpinball/Σ|y|). Catalyst aggregates only."""
     panel = panel_from_events(spark, sf_dir)
     stats = (
         panel.groupBy("doc_id")
@@ -1072,59 +1164,6 @@ def pinball_rmsse_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("mse_scale") > 0,
         100 * F.sqrt(F.avg(e * e) / F.first("mse_scale")),
     )
-    return j.groupBy("doc_id").agg(
-        stable_round6(pinball).alias("naive_pinball"),
-        stable_round6(rmsse).alias("naive_rmsse"),
-    )
-
-
-@register(
-    "quantile_calibration_events",
-    f"""
-    WITH fc AS ({_SQL_FC}),
-    panel AS ({PANEL_FROM_EVENTS_SQL}),
-    stats AS (
-        SELECT doc_id, max(pos) + 1 - {_H} AS cutoff
-        FROM panel GROUP BY doc_id HAVING max(pos) + 1 > {_H} + {_S}
-    ),
-    truth AS (
-        SELECT p.doc_id, p.pos - s.cutoff AS pos, p.val AS y
-        FROM panel p JOIN stats s USING (doc_id)
-        WHERE p.pos >= s.cutoff
-    )
-    SELECT t.doc_id,
-           {sql_round6("avg(CASE WHEN t.y <= f.naive_forec THEN 1.0 ELSE 0.0 END)")} AS naive_calibration,
-           {sql_round6(f"2 * CASE WHEN sum(abs(t.y)) <> 0 THEN sum(CASE WHEN t.y >= f.naive_forec THEN {_TAU} * (t.y - f.naive_forec) ELSE ({_TAU} - 1) * (t.y - f.naive_forec) END) / sum(abs(t.y)) ELSE 0.0 END")} AS naive_wpinball
-    FROM truth t
-    JOIN fc f USING (doc_id, pos)
-    GROUP BY t.doc_id
-    """,
-)
-def quantile_calibration_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quantile calibration (fforma/metrics/numpy/metrics.py:272-296:
-    fraction of obs with y ≤ ŷ — τ-quantile forecasts should score ≈ τ)
-    and the scaled weighted pinball (:298-327: 2·Σpinball/Σ|y| per
-    series; the reference's scalar is the mean of this column).
-    Catalyst aggregates only."""
-    panel = panel_from_events(spark, sf_dir)
-    stats = (
-        panel.groupBy("doc_id")
-        .agg((F.max("pos") + 1).alias("n"))
-        .filter(F.col("n") > _H + _S)
-        .withColumn("cutoff", F.col("n") - _H)
-    )
-    truth = (
-        panel.join(stats.select("doc_id", "cutoff"), "doc_id")
-        .filter(F.col("pos") >= F.col("cutoff"))
-        .select(
-            "doc_id",
-            (F.col("pos") - F.col("cutoff")).alias("pos"),
-            F.col("val").alias("y"),
-        )
-    )
-    fc = _forecasts_events_spark(spark, sf_dir)
-    j = truth.join(fc, ["doc_id", "pos"])
-    e = F.col("y") - F.col("naive_forec")
     pinball_sum = F.sum(
         F.when(e >= 0, _TAU * e).otherwise((_TAU - 1) * e)
     )
@@ -1133,6 +1172,8 @@ def quantile_calibration_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         2 * pinball_sum / F.sum(F.abs(F.col("y"))),
     ).otherwise(F.lit(0.0))
     return j.groupBy("doc_id").agg(
+        stable_round6(pinball).alias("naive_pinball"),
+        stable_round6(rmsse).alias("naive_rmsse"),
         stable_round6(
             F.avg(F.when(F.col("y") <= F.col("naive_forec"), 1.0).otherwise(0.0))
         ).alias("naive_calibration"),
@@ -1140,98 +1181,9 @@ def quantile_calibration_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "xor_roundtrip_tier",
-    f"""
-    SELECT doc_id, TRUE AS ok
-    FROM ({rollup_tier_sql(_T1_BUCKET, PANEL_FROM_EVENTS_SQL)}) t
-    GROUP BY doc_id
-    """,
-)
-def xor_roundtrip_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gorilla-XOR float codec round-trip on the T1 vmean series per
-    doc (the float half of the compression tier; the int half is
-    compress_roundtrip_documents). Oracle is the identity truth table —
-    a codec defect flips ok."""
-    from fforma_spark.functions.compress import (
-        compress_floats_udf,
-        decompress_floats_udf,
-    )
-
-    t1 = rollup_tier(panel_from_events(spark, sf_dir), _T1_BUCKET)
-    series = t1.groupBy("doc_id").agg(
-        F.transform(
-            F.sort_array(F.collect_list(F.struct("bucket", "vmean"))),
-            lambda s: s["vmean"],
-        ).alias("vals")
-    )
-    rt = series.select(
-        "doc_id",
-        "vals",
-        decompress_floats_udf()(compress_floats_udf()("vals")).alias("_rt"),
-    )
-    return rt.select(
-        "doc_id",
-        (
-            (F.size("vals") == F.size("_rt"))
-            & F.forall(
-                F.zip_with("vals", "_rt", lambda a, b: a.eqNullSafe(b)),
-                lambda x: x,
-            )
-        ).alias("ok"),
-    )
-
-
 # ---------------------------------------------------------------------------
 # Remaining filter/reshape/set-op coverage (SURVEY §2.2/§2.7/§2.8/§2.10)
 # ---------------------------------------------------------------------------
-
-
-@register(
-    "prefix_filter_documents",
-    f"""
-    SELECT doc_id, source, n_tok
-    FROM ({SEQUENCES_FROM_DOCUMENTS_SQL}) seqs
-    WHERE source LIKE 'src1%'
-    """,
-)
-def prefix_filter_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """String-prefix predicate (str.startswith group filters,
-    fforma/experiments/meta_results_r_data.py:132-137)."""
-    seq = sequences_from_documents(spark, sf_dir)
-    return seq.filter(F.col("source").startswith("src1")).select(
-        "doc_id", "source", "n_tok"
-    )
-
-
-@register(
-    "sparse_stats_documents",
-    f"""
-    SELECT doc_id,
-           len(list_filter(tokens, v -> v > 0)) AS n_demand,
-           CAST(list_sum(list_transform(tokens, v -> CASE WHEN v <> 0 THEN 1 ELSE 0 END)) AS BIGINT) AS n_nonzero,
-           len(tokens) - len(list_filter(tokens, v -> v > 0)) AS n_zero
-    FROM ({SEQUENCES_FROM_DOCUMENTS_SQL}) seqs
-    WHERE n_tok > 0
-    """,
-)
-def sparse_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sparse-series support ops (demand/probability,
-    fforma/base/_models.py:74-89,601-620) as array higher-order
-    functions — no explode, no shuffle."""
-    seq = sequences_from_documents(spark, sf_dir)
-    demand = F.filter("tokens", lambda v: v > 0)
-    nonzero = F.aggregate(
-        F.transform("tokens", lambda v: F.when(v != 0, 1).otherwise(0)),
-        F.lit(0).cast("long"),
-        lambda a, x: a + x,
-    )
-    return seq.filter(F.col("n_tok") > 0).select(
-        "doc_id",
-        F.size(demand).alias("n_demand"),
-        nonzero.alias("n_nonzero"),
-        (F.size("tokens") - F.size(demand)).alias("n_zero"),
-    )
 
 
 @register(
@@ -1248,32 +1200,6 @@ def explode_panel_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seq.select(
         "doc_id", F.posexplode("tokens").alias("pos", "val")
     ).select("doc_id", F.col("pos").cast("long"), "val")
-
-
-_DOC_PANEL_SQL = f"""
-    SELECT doc_id, CAST(g.i - 1 AS BIGINT) AS pos, CAST(tokens[g.i] AS DOUBLE) AS val
-    FROM ({SEQUENCES_FROM_DOCUMENTS_SQL}) seqs,
-         UNNEST(generate_series(1, len(tokens))) AS g(i)
-"""
-
-
-@register(
-    "features_sql_documents",
-    _sql_rounded(
-        features_sql_oracle(_DOC_PANEL_SQL),
-        ["mean", "variance", "trend_slope", "x_acf1"],
-        ["doc_id", "series_length", "crossing_points"],
-    ),
-)
-def features_sql_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Closed-form feature subset (length/mean/variance/trend/acf1/
-    crossings) over the DOCUMENTS token panel — the oracled Catalyst
-    twin of the kernel-path features_t0_documents columns."""
-    from fforma_spark.functions.features import features_sql
-
-    panel = explode_panel(sequences_from_documents(spark, sf_dir))
-    out = features_sql(panel)
-    return _round6(out, ["mean", "variance", "trend_slope", "x_acf1"])
 
 
 @register(
@@ -1351,18 +1277,28 @@ def rolling_backtest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("quantile_forecasts_documents")  # rows-only: IRLS is not SQL
+@register("quantile_forecasts_documents")  # rows-only: IRLS/ADF not SQL
 def quantile_forecasts_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quantile AR forecasts (q10/q50/q90) per doc — from-scratch IRLS
-    pinball regression on AR lags (fforma/base/_quantile_models.py:49-225
-    semantics), one mapInPandas pass."""
+    """Quantile AR forecasts per doc in ONE mapInPandas pass — the
+    plain q10/q50/q90 IRLS pinball regression on AR lags
+    (fforma/base/_quantile_models.py:49-225 semantics) AND the
+    reference's ADF-differencing branch (:140-151, 210-214): the series
+    is differenced until the from-scratch ADF test says stationary
+    (max 10), the τ=0.5 fit runs on the differenced series, the
+    forecast is undifferenced by cumsum, and the chosen depth is
+    reported as n_diffs. One ADF search per doc serves both the
+    reported depth and the forecast."""
     import numpy as np
     import pandas as pd
 
-    from fforma_spark.functions.quantile import quantile_ar_forecast
+    from fforma_spark.functions.quantile import (
+        difference_until_stationary,
+        quantile_ar_forecast,
+    )
     from fforma_spark.util import ensure_parallelism
 
     h = 8
+    cols = ["doc_id", "pos", "q10", "q50", "q90", "q50_adf", "n_diffs"]
 
     def gen(it):
         for pdf in it:
@@ -1372,6 +1308,7 @@ def quantile_forecasts_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                 if len(y) <= h + 3:
                     continue
                 train = y[:-h]
+                _, d = difference_until_stationary(train, 10)
                 frames.append(
                     pd.DataFrame(
                         {
@@ -1380,10 +1317,13 @@ def quantile_forecasts_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                             "q10": quantile_ar_forecast(train, h, 0.1),
                             "q50": quantile_ar_forecast(train, h, 0.5),
                             "q90": quantile_ar_forecast(train, h, 0.9),
+                            "q50_adf": quantile_ar_forecast(
+                                train, h, 0.5, n_diffs=d
+                            ),
+                            "n_diffs": np.int64(d),
                         }
                     )
                 )
-            cols = ["doc_id", "pos", "q10", "q50", "q90"]
             yield (
                 pd.concat(frames, ignore_index=True)[cols]
                 if frames
@@ -1393,7 +1333,9 @@ def quantile_forecasts_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     seq = sequences_from_documents(spark, sf_dir)
     src = ensure_parallelism(seq.select("doc_id", "tokens"))
     return src.mapInPandas(
-        gen, "doc_id string, pos long, q10 double, q50 double, q90 double"
+        gen,
+        "doc_id string, pos long, q10 double, q50 double, q90 double, "
+        "q50_adf double, n_diffs long",
     )
 
 
@@ -1579,95 +1521,38 @@ def ensemble_backtest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ensemble_backtest(panel, _EBT_CUTS, _EBT_H, _EBT_S)
 
 
-@register("quantile_forecasts_adf_documents")  # rows-only: ADF+IRLS not SQL
-def quantile_forecasts_adf_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quantile AR with the reference's ADF-differencing branch enabled
-    (fforma/base/_quantile_models.py:140-151, 210-214): per doc, the
-    series is differenced until the from-scratch ADF test says
-    stationary (max 10), the τ=0.5 AR fit runs on the differenced
-    series, and the forecast is undifferenced by cumsum. Also returns
-    the differencing depth chosen per doc."""
-    import numpy as np
-    import pandas as pd
-
-    from fforma_spark.functions.quantile import (
-        difference_until_stationary,
-        quantile_ar_forecast,
-    )
-    from fforma_spark.util import ensure_parallelism
-
-    h = 8
-
-    def gen(it):
-        cols = ["doc_id", "pos", "q50_adf", "n_diffs"]
-        for pdf in it:
-            frames = []
-            for doc_id, tokens in zip(pdf["doc_id"], pdf["tokens"]):
-                y = np.asarray(tokens, dtype=np.float64)
-                if len(y) <= h + 3:
-                    continue
-                train = y[:-h]
-                # ONE ADF search per doc: its result feeds both the
-                # reported n_diffs and the forecast (n_diffs= skips
-                # the duplicate search inside quantile_ar_forecast)
-                _, d = difference_until_stationary(train, 10)
-                frames.append(
-                    pd.DataFrame(
-                        {
-                            "doc_id": doc_id,
-                            "pos": np.arange(h, dtype=np.int64),
-                            "q50_adf": quantile_ar_forecast(
-                                train, h, 0.5, n_diffs=d
-                            ),
-                            "n_diffs": np.int64(d),
-                        }
-                    )
-                )
-            yield (
-                pd.concat(frames, ignore_index=True)[cols]
-                if frames
-                else pd.DataFrame(columns=cols)
-            )
-
-    seq = sequences_from_documents(spark, sf_dir)
-    src = ensure_parallelism(seq.select("doc_id", "tokens"))
-    return src.mapInPandas(
-        gen, "doc_id string, pos long, q50_adf double, n_diffs long"
-    )
-
-
-@register("fqra_ensemble_documents")  # rows-only: PCA+IRLS not SQL
-def fqra_ensemble_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Factor Quantile Regression Averaging ensemble
-    (fforma/meta_learner/_regression_averaging.py:9-56 over
-    fforma/base/_models.py:475-498): per series, PCA the validation
-    base-forecast matrix, quantile-regress actuals on the factors,
-    ensemble the test forecasts. One mapInPandas pass."""
+@register("qra_ensembles_documents")  # rows-only: PCA/lasso+IRLS not SQL
+def qra_ensembles_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both regression-averaging ensembles, tagged by method:
+    method='fqra' — Factor QRA (fforma/meta_learner/
+    _regression_averaging.py:9-56 over fforma/base/_models.py:475-498):
+    per series, PCA the validation base-forecast matrix, quantile-
+    regress actuals on the factors, ensemble the test forecasts;
+    method='lqra' — Lasso QRA (:58-105 over _models.py:500-554):
+    pinball + L1-to-equal-weights fit on validation forecasts, applied
+    at the test cutoff. One mapInPandas pass each, unioned."""
     from fforma_spark.functions.regression_averaging import (
         regression_averaging_forecasts,
     )
 
     seq = sequences_from_documents(spark, sf_dir)
-    out = regression_averaging_forecasts(
+    fqra = regression_averaging_forecasts(
         seq, method="fqra", tau=0.5, n_components=2
+    ).select(
+        F.lit("fqra").alias("method"),
+        "doc_id",
+        "pos",
+        stable_round6("y_hat").alias("y_hat"),
     )
-    return out.withColumn("y_hat", stable_round6("y_hat"))
-
-
-@register("lqra_ensemble_documents")  # rows-only: lasso pinball not SQL
-def lqra_ensemble_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Lasso Quantile Regression Averaging ensemble
-    (fforma/meta_learner/_regression_averaging.py:58-105 over
-    fforma/base/_models.py:500-554): per series, pinball + L1-to-
-    equal-weights fit on validation forecasts, applied at the test
-    cutoff."""
-    from fforma_spark.functions.regression_averaging import (
-        regression_averaging_forecasts,
+    lqra = regression_averaging_forecasts(
+        seq, method="lqra", tau=0.5, lambd=1.0
+    ).select(
+        F.lit("lqra").alias("method"),
+        "doc_id",
+        "pos",
+        stable_round6("y_hat").alias("y_hat"),
     )
-
-    seq = sequences_from_documents(spark, sf_dir)
-    out = regression_averaging_forecasts(seq, method="lqra", tau=0.5, lambd=1.0)
-    return out.withColumn("y_hat", stable_round6("y_hat"))
+    return fqra.unionByName(lqra)
 
 
 @register("fforma_ensemble_documents")  # rows-only: GBT training is not SQL

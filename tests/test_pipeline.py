@@ -256,6 +256,85 @@ def test_ivf_structure_and_probed_recall(spark):
         assert mine == expect, (qid, mine, expect)
 
 
+def test_ivf_assignment_is_shuffle_free_projection(spark):
+    """The nearest-cell assignment must be a pure scan→project with
+    literal (broadcast) centroids — NO rank-1 row_number window over
+    N×C scored rows (the round-2 shape), no aggregation, no exchange.
+    At 10^12 vectors this pass moves zero bytes over the network."""
+    import contextlib
+    import io
+    import re
+
+    emb = load_table(spark, SF, "embeddings")
+    df = S._assign_cells(
+        emb.selectExpr("CAST(vec_id AS LONG) vec_id", "embedding"),
+        S._seed_centroids(
+            emb.selectExpr("CAST(vec_id AS LONG) vec_id", "embedding"), 3, 8
+        ),
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "array_max" in plan
+    for node in ("Window", "Exchange", "HashAggregate", "SortAggregate",
+                 "BroadcastNestedLoopJoin"):
+        assert not re.search(rf"^\(\d+\) {node}", plan, re.M), (node, plan)
+
+
+def test_ivf_lloyd_recall_not_worse_than_seed(spark):
+    """One Lloyd refinement iteration must not hurt recall vs the raw
+    seed centroids on the test corpus (VERDICT r2 item 3): recall is
+    measured against brute-force cosine top-k."""
+    emb = load_table(spark, SF, "embeddings")
+    nq, k = 3, 4
+    truth = {
+        (r["query_id"], r["cand_id"])
+        for r in S.knn_bruteforce(emb, nq, k).collect()
+    }
+
+    def recall(lloyd):
+        got = {
+            (r["query_id"], r["cand_id"])
+            for r in S.ann_ivf_topk(emb, nq, k, 8, 2, lloyd_iters=lloyd).collect()
+        }
+        return len(got & truth) / len(truth)
+
+    r0, r1 = recall(0), recall(1)
+    assert r1 >= r0, (r0, r1)
+
+
+def test_ivf_lloyd_centroids_deterministic_vs_duckdb(spark):
+    """The decimal-exact Lloyd mean must be bit-identical across
+    engines: compare the refined centroids from Spark against DuckDB
+    computing the same decimal-sum/double-divide."""
+    import duckdb
+
+    emb = load_table(spark, SF, "embeddings")
+    e = emb.selectExpr("CAST(vec_id AS LONG) vec_id", "embedding")
+    cents = S._seed_centroids(e, 3, 8)
+    refined = {
+        r["cell_id"]: list(r["c_emb"])
+        for r in S.lloyd_refine(e, cents).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{SF}/embeddings.parquet')"
+    )
+    sql = S.ann_ivf_topk_sql(3, 4, 8, 2, lloyd_iters=1)
+    # extract just the cents_1 CTE result
+    body = sql[sql.index("WITH") :]
+    probe = (
+        body[: body.index(",\n        ranked_cells")]
+        + " SELECT cell_id, c_emb FROM cents_1"
+    )
+    ddb = {r[0]: list(r[1]) for r in con.execute(probe).fetchall()}
+    assert set(ddb) == set(refined)
+    for cid in ddb:
+        assert ddb[cid] == refined[cid], cid
+
+
 def test_simhash_hamming_matches_bruteforce(spark):
     """4-chunk banding is pigeonhole-complete for Hamming ≤ 3: the
     query's pair set equals the brute-force all-pairs scan."""

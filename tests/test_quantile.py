@@ -235,14 +235,16 @@ def test_qral1_limits():
 def test_regression_averaging_queries(spark):
     from fforma_spark.queries import QUERIES
 
-    for name in ("fqra_ensemble_documents", "lqra_ensemble_documents",
-                 "quantile_forecasts_adf_documents"):
+    for name in ("qra_ensembles_documents", "quantile_forecasts_documents"):
         rows = QUERIES[name](spark, "/root/testdata/sf0.001").collect()
         assert len(rows) > 0, name
         for r in rows[:50]:
             for c in r.asDict():
-                if c not in ("doc_id",):
+                if c not in ("doc_id", "method"):
                     assert np.isfinite(r[c]), (name, r)
+    methods = {r["method"] for r in QUERIES["qra_ensembles_documents"](
+        spark, "/root/testdata/sf0.001").select("method").distinct().collect()}
+    assert methods == {"fqra", "lqra"}
 
 
 def test_quantile_ar_n_diffs_edge_values():
