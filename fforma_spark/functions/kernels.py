@@ -821,9 +821,16 @@ def nonlinearity_stat(x: np.ndarray) -> float:
 
 def arch_stat(x: np.ndarray, lags: int = 12) -> float:
     """ARCH LM statistic (tsfeatures `arch_stat`, demeaned): R² of the
-    OLS of (x−x̄)² on its ``lags`` lagged values."""
+    OLS of (x−x̄)² on its ``lags`` lagged values.
+
+    For short series the lag order shrinks to (n−2)//2 so the
+    regression keeps at least one residual degree of freedom — at the
+    full 12 lags any series with 14-25 points fits perfectly and the
+    statistic saturates at exactly 1.0 regardless of data (round-2
+    ADVICE finding; verified on iid noise)."""
     x = np.asarray(x, dtype=np.float64)
-    if len(x) <= lags + 1 or np.var(x) == 0:
+    lags = min(lags, (len(x) - 2) // 2)
+    if lags < 1 or len(x) <= lags + 1 or np.var(x) == 0:
         return 0.0
     y = (x - x.mean()) ** 2
     T = len(y) - lags

@@ -315,3 +315,68 @@ def qral1_fit(
         if obj < best_obj:
             best_obj, best_beta = obj, beta.copy()
     return best_beta
+
+
+QF_SCHEMA = (
+    "doc_id string, pos long, q10 double, q50 double, q90 double, "
+    "q50_adf double, n_diffs long"
+)
+
+
+def quantile_forecasts(seq_df, h: int = 8, max_series_len: int | None = None):
+    """Quantile AR forecasts per doc (q10/q50/q90 + the ADF-differenced
+    q50 and its chosen depth) in one mapInPandas pass over the wide
+    sequence table — the Spark fabric around quantile_ar_forecast /
+    difference_until_stationary (fforma/base/_quantile_models.py:49-225
+    and :140-151,210-214 semantics).
+
+    ``max_series_len`` arms whale protection exactly like
+    models.base_forecasts: whales enter the IRLS/ADF kernels as their
+    trailing window (plans/skew.cap_whales) so per-task cost stays
+    bounded; docs ≤ cap are bit-identical."""
+    import pandas as pd
+
+    from fforma_spark.util import ensure_parallelism
+
+    cols = ["doc_id", "pos", "q10", "q50", "q90", "q50_adf", "n_diffs"]
+
+    def gen(it):
+        for pdf in it:
+            frames = []
+            for doc_id, tokens in zip(pdf["doc_id"], pdf["tokens"]):
+                y = np.asarray(tokens, dtype=np.float64)
+                if len(y) <= h + 3:
+                    continue
+                train = y[:-h]
+                # ONE ADF search per doc: its result feeds both the
+                # reported n_diffs and the forecast
+                _, d = difference_until_stationary(train, 10)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "doc_id": doc_id,
+                            "pos": np.arange(h, dtype=np.int64),
+                            "q10": quantile_ar_forecast(train, h, 0.1),
+                            "q50": quantile_ar_forecast(train, h, 0.5),
+                            "q90": quantile_ar_forecast(train, h, 0.9),
+                            "q50_adf": quantile_ar_forecast(
+                                train, h, 0.5, n_diffs=d
+                            ),
+                            "n_diffs": np.int64(d),
+                        }
+                    )
+                )
+            yield (
+                pd.concat(frames, ignore_index=True)[cols]
+                if frames
+                else pd.DataFrame(columns=cols)
+            )
+
+    if max_series_len is not None:
+        from fforma_spark.plans.skew import cap_whales
+
+        seq_df = cap_whales(
+            seq_df.select("doc_id", "tokens", "n_tok"), max_series_len
+        )
+    src = ensure_parallelism(seq_df.select("doc_id", "tokens"))
+    return src.mapInPandas(gen, QF_SCHEMA)

@@ -90,13 +90,26 @@ def regression_averaging_forecasts(
     n_components: int = 2,
     lambd: float = 1.0,
     default_h: int = 8,
+    max_series_len: int | None = None,
 ) -> DataFrame:
     """Per-series FQRA/LQRA ensemble forecasts as a long panel
-    (doc_id, pos, y_hat)."""
+    (doc_id, pos, y_hat).
+
+    ``max_series_len`` arms whale protection exactly like
+    models.base_forecasts: whale docs enter the PCA/IRLS kernels as
+    their trailing window (plans/skew.cap_whales) so no Arrow
+    batch/task is dominated by a 200k-token doc; docs ≤ cap are
+    bit-identical."""
     from fforma_spark.util import ensure_parallelism
 
     gen = lambda it: _ra_batches(  # noqa: E731
         it, method, tau, n_components, lambd, default_h
     )
+    if max_series_len is not None:
+        from fforma_spark.plans.skew import cap_whales
+
+        seq_df = cap_whales(
+            seq_df.select("doc_id", "tokens", "n_tok"), max_series_len
+        )
     src = ensure_parallelism(seq_df.select("doc_id", "tokens"))
     return src.mapInPandas(gen, RA_SCHEMA)

@@ -62,8 +62,17 @@ def _write_tier(
     # pass that writes the data (spark_partition_id tags the write-side
     # partition; cheap groupBy on the small tier output)
     tagged = df.withColumn("_pid", F.spark_partition_id())
-    tagged.write.mode("overwrite").parquet(path)
-    written = df.sparkSession.read.parquet(path)
+    # format-pluggable: parquet dir, or Iceberg writeTo when
+    # FFORMA_SPARK_ICEBERG_CATALOG is set (SCALE.md §1 partition spec)
+    from fforma_spark.sources.tables import write_output
+
+    target = write_output(tagged, path, table_name=f"tier_{tier.name}")
+    if target == path:
+        written = df.sparkSession.read.parquet(path)
+        nbytes = _dir_bytes(path)
+    else:  # pragma: no cover — needs an Iceberg runtime jar
+        written = df.sparkSession.read.table(target)
+        nbytes = None
     lineage_rows = (
         written.groupBy("_pid").count().orderBy("_pid").collect()
     )
@@ -73,7 +82,7 @@ def _write_tier(
         "fingerprint": fingerprint,
         "source_tier": source_tier,
         "rows": rows,
-        "bytes": _dir_bytes(path),
+        "bytes": nbytes,
         "partitions": [
             {"partition_id": r["_pid"], "rows": r["count"]}
             for r in lineage_rows

@@ -251,6 +251,11 @@ def features_sql_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _H, _S = 8, 7
 
+# whale cap for sequential-kernel mapInPandas stages (same default as
+# jobs/build_tiers.py --max-series-len): docs ≤ cap are bit-identical,
+# longer docs enter the kernels as their trailing window
+_SEQ_KERNEL_CAP = 65536
+
 _SQL_FC = f"""
     WITH panel AS ({PANEL_FROM_EVENTS_SQL}),
     stats AS (
@@ -1282,61 +1287,14 @@ def quantile_forecasts_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantile AR forecasts per doc in ONE mapInPandas pass — the
     plain q10/q50/q90 IRLS pinball regression on AR lags
     (fforma/base/_quantile_models.py:49-225 semantics) AND the
-    reference's ADF-differencing branch (:140-151, 210-214): the series
-    is differenced until the from-scratch ADF test says stationary
-    (max 10), the τ=0.5 fit runs on the differenced series, the
-    forecast is undifferenced by cumsum, and the chosen depth is
-    reported as n_diffs. One ADF search per doc serves both the
-    reported depth and the forecast."""
-    import numpy as np
-    import pandas as pd
-
-    from fforma_spark.functions.quantile import (
-        difference_until_stationary,
-        quantile_ar_forecast,
-    )
-    from fforma_spark.util import ensure_parallelism
-
-    h = 8
-    cols = ["doc_id", "pos", "q10", "q50", "q90", "q50_adf", "n_diffs"]
-
-    def gen(it):
-        for pdf in it:
-            frames = []
-            for doc_id, tokens in zip(pdf["doc_id"], pdf["tokens"]):
-                y = np.asarray(tokens, dtype=np.float64)
-                if len(y) <= h + 3:
-                    continue
-                train = y[:-h]
-                _, d = difference_until_stationary(train, 10)
-                frames.append(
-                    pd.DataFrame(
-                        {
-                            "doc_id": doc_id,
-                            "pos": np.arange(h, dtype=np.int64),
-                            "q10": quantile_ar_forecast(train, h, 0.1),
-                            "q50": quantile_ar_forecast(train, h, 0.5),
-                            "q90": quantile_ar_forecast(train, h, 0.9),
-                            "q50_adf": quantile_ar_forecast(
-                                train, h, 0.5, n_diffs=d
-                            ),
-                            "n_diffs": np.int64(d),
-                        }
-                    )
-                )
-            yield (
-                pd.concat(frames, ignore_index=True)[cols]
-                if frames
-                else pd.DataFrame(columns=cols)
-            )
+    reference's ADF-differencing branch (:140-151, 210-214), with the
+    chosen depth reported as n_diffs. Whale protection armed at the
+    production cap (docs ≤ cap are bit-identical; a 200k-token doc
+    enters the sequential kernels as its trailing window)."""
+    from fforma_spark.functions.quantile import quantile_forecasts
 
     seq = sequences_from_documents(spark, sf_dir)
-    src = ensure_parallelism(seq.select("doc_id", "tokens"))
-    return src.mapInPandas(
-        gen,
-        "doc_id string, pos long, q10 double, q50 double, q90 double, "
-        "q50_adf double, n_diffs long",
-    )
+    return quantile_forecasts(seq, h=8, max_series_len=_SEQ_KERNEL_CAP)
 
 
 @register(
@@ -1537,7 +1495,8 @@ def qra_ensembles_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     seq = sequences_from_documents(spark, sf_dir)
     fqra = regression_averaging_forecasts(
-        seq, method="fqra", tau=0.5, n_components=2
+        seq, method="fqra", tau=0.5, n_components=2,
+        max_series_len=_SEQ_KERNEL_CAP,
     ).select(
         F.lit("fqra").alias("method"),
         "doc_id",
@@ -1545,7 +1504,8 @@ def qra_ensembles_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round6("y_hat").alias("y_hat"),
     )
     lqra = regression_averaging_forecasts(
-        seq, method="lqra", tau=0.5, lambd=1.0
+        seq, method="lqra", tau=0.5, lambd=1.0,
+        max_series_len=_SEQ_KERNEL_CAP,
     ).select(
         F.lit("lqra").alias("method"),
         "doc_id",

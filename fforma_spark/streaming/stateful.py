@@ -10,9 +10,15 @@ level + one-step forecast per key.
 Ordering contract: within one micro-batch the operator sorts a key's
 rows by (ts, event_id); ACROSS micro-batches in-order delivery per key
 is the deployment contract (e.g. a Kafka partition per key — the same
-assumption every per-key streaming fold makes). The equivalence test
-drives the whole directory through one availableNow batch, where the
-result must equal the batch kernel bit-for-bit.
+assumption every per-key streaming fold makes). The contract is now
+ENFORCED, not assumed (round-2 ADVICE finding): the state tracks the
+max (ts, event_id) already folded, rows arriving at or behind it are
+DROPPED rather than silently folded in the wrong position (which would
+permanently corrupt the level), and the per-key count of dropped rows
+is emitted as ``n_late`` so violations are visible downstream. The
+equivalence test drives the whole directory through one availableNow
+batch, where the result must equal the batch kernel bit-for-bit with
+n_late = 0.
 
 Scale shape: state is O(#keys) doubles (RocksDB-backed state store in
 production), each micro-batch shuffles only its own rows on doc_id —
@@ -29,30 +35,47 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-OUTPUT_SCHEMA = "doc_id string, n long, level double, forecast double"
-STATE_SCHEMA = "level double, n long"
+OUTPUT_SCHEMA = (
+    "doc_id string, n long, level double, forecast double, n_late long"
+)
+# max_ts is the int64 timestamp of the last folded event; with
+# max_eid it forms the per-key high-watermark for the ordering guard
+STATE_SCHEMA = "level double, n long, max_ts long, max_eid long, n_late long"
+
+_MIN = -(1 << 62)
 
 
 def _ses_fold(key, pdf_iter: Iterator[pd.DataFrame], state: GroupState, alpha: float):
     rows = pd.concat(list(pdf_iter))
     rows = rows.sort_values(["ts", "event_id"])
     if state.exists:
-        level, n = state.get
+        level, n, max_ts, max_eid, n_late = state.get
     else:
-        level, n = 0.0, 0
-    for v in rows["value"].astype("float64"):
+        level, n, max_ts, max_eid, n_late = 0.0, 0, _MIN, _MIN, 0
+    # int64 view of the timestamp (unit-agnostic: only the ordering
+    # matters, and it is consistent within a stream)
+    ts_us = (rows["ts"].astype("int64")).to_numpy()
+    eids = rows["event_id"].astype("int64").to_numpy()
+    for t, eid, v in zip(ts_us, eids, rows["value"].astype("float64")):
+        if (int(t), int(eid)) <= (max_ts, max_eid):
+            # behind the folded watermark: folding it now would corrupt
+            # the level permanently — drop and surface the violation
+            n_late += 1
+            continue
         if n == 0:
             level = float(v)  # SES initializes at the first observation
         else:
             level = level + alpha * (float(v) - level)
         n += 1
-    state.update((float(level), int(n)))
+        max_ts, max_eid = int(t), int(eid)
+    state.update((float(level), int(n), int(max_ts), int(max_eid), int(n_late)))
     yield pd.DataFrame(
         {
             "doc_id": [str(key[0])],
             "n": [n],
             "level": [level],
             "forecast": [level],  # SES h-step forecast is flat
+            "n_late": [n_late],
         }
     )
 
@@ -97,6 +120,7 @@ def batch_ses(events: DataFrame, alpha: float = 0.3) -> DataFrame:
                 "n": [len(x)],
                 "level": [level],
                 "forecast": [level],
+                "n_late": [0],  # a whole sorted series has no late rows
             }
         )
 

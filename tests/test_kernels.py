@@ -278,3 +278,16 @@ def test_feature_vector_degenerate_inputs_all_finite():
                 assert set(fv) == set(K.FEATURE_NAMES)
                 for k, v in fv.items():
                     assert np.isfinite(v), (n, s, k)
+
+
+def test_arch_stat_short_series_not_saturated():
+    """Round-2 ADVICE: at full lag order every 14-25 point series has
+    T <= regressors, the OLS fits perfectly, and the statistic pins at
+    exactly 1.0 regardless of data. The shrunk lag order must keep the
+    statistic informative on short iid noise."""
+    rng = np.random.RandomState(11)
+    for n in (14, 18, 22, 25, 30):
+        vals = [K.arch_stat(rng.normal(size=n)) for _ in range(20)]
+        # iid noise: R^2 must not be identically 1 (degenerate fit)
+        assert max(vals) < 1.0 - 1e-9, (n, max(vals))
+        assert np.mean(vals) < 0.95, (n, np.mean(vals))

@@ -270,3 +270,65 @@ def test_quantile_ar_n_diffs_edge_values():
     via_search = quantile_ar_forecast(y, 4, 0.5, max_diffs=10)
     via_ndiffs = quantile_ar_forecast(y, 4, 0.5, n_diffs=d)
     assert np.allclose(via_search, via_ndiffs)
+
+
+def test_whale_cap_engages_for_quantile_and_qra(spark):
+    """Sequential-kernel stages (quantile AR, FQRA/LQRA) must bound
+    per-task cost via cap_whales: a 200k-token whale enters the kernel
+    as its trailing window — output equals running the kernel on the
+    manually-sliced doc — while docs under the cap are bit-identical
+    to the uncapped path (VERDICT r2 item 7)."""
+    import numpy as np
+
+    from fforma_spark.functions.quantile import quantile_forecasts
+    from fforma_spark.functions.regression_averaging import (
+        regression_averaging_forecasts,
+    )
+
+    rng = np.random.default_rng(7)
+    whale = (rng.integers(1, 9, 200_000) + np.arange(200_000) % 5).tolist()
+    small = rng.integers(1, 9, 60).tolist()
+    rows = [("whale", whale, len(whale)), ("small", small, len(small))]
+    seq = spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, n_tok int"
+    ).repartition(2)
+    cap = 1000
+    sliced = spark.createDataFrame(
+        [("whale", whale[-cap:], cap), ("small", small, len(small))],
+        "doc_id string, tokens array<int>, n_tok int",
+    ).repartition(2)
+
+    def rows_of(df):
+        return {
+            (r["doc_id"], r["pos"]): tuple(
+                round(v, 9) if isinstance(v, float) else v
+                for k, v in sorted(r.asDict().items())
+                if k not in ("doc_id", "pos")
+            )
+            for r in df.collect()
+        }
+
+    got = rows_of(quantile_forecasts(seq, h=8, max_series_len=cap))
+    want = rows_of(quantile_forecasts(sliced, h=8))
+    assert got == want
+    # small doc unchanged vs the fully-uncapped path
+    uncapped = rows_of(quantile_forecasts(seq.filter("doc_id = 'small'"), h=8))
+    assert {k: v for k, v in got.items() if k[0] == "small"} == uncapped
+
+    got_ra = rows_of(
+        regression_averaging_forecasts(seq, method="lqra", max_series_len=cap)
+    )
+    want_ra = rows_of(regression_averaging_forecasts(sliced, method="lqra"))
+    assert got_ra == want_ra
+
+    # the cap is pure Catalyst: a slice CASE in the plan, no extra
+    # python stage
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        quantile_forecasts(seq, h=8, max_series_len=cap).explain("formatted")
+    plan = buf.getvalue()
+    assert "slice" in plan
+    assert plan.count("ArrowEvalPython") == 0  # mapInPandas shows as MapInPandas

@@ -76,3 +76,63 @@ def test_stateful_streaming_ses_matches_batch(spark, tmp_path):
     }
     assert got == batch
     assert len(got) > 0
+
+
+def test_stateful_ses_drops_and_flags_late_rows():
+    """Round-2 ADVICE: an event arriving behind the folded (ts,
+    event_id) watermark in a later micro-batch must be DROPPED and
+    counted in n_late — not silently folded in the wrong position
+    (which would permanently corrupt the per-key level)."""
+    import pandas as pd
+
+    from fforma_spark.streaming.stateful import _ses_fold
+
+    class _FakeState:
+        def __init__(self):
+            self._v = None
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    def batch(ts_vals, eids, values):
+        return pd.DataFrame(
+            {
+                "ts": pd.to_datetime(ts_vals, unit="s"),
+                "event_id": eids,
+                "value": values,
+            }
+        )
+
+    alpha = 0.3
+    state = _FakeState()
+    out1 = list(
+        _ses_fold(("7",), iter([batch([10, 20, 30], [1, 2, 3], [1.0, 2.0, 3.0])]),
+                  state, alpha)
+    )[0]
+    assert int(out1["n_late"].iloc[0]) == 0
+    # second micro-batch: one late event (ts=20 < watermark 30), one new
+    out2 = list(
+        _ses_fold(("7",), iter([batch([20, 40], [9, 4], [99.0, 4.0])]),
+                  state, alpha)
+    )[0]
+    assert int(out2["n"].iloc[0]) == 4
+    assert int(out2["n_late"].iloc[0]) == 1
+    # level == in-order fold of [1,2,3,4]; the late 99.0 never entered
+    level = 1.0
+    for v in (2.0, 3.0, 4.0):
+        level = level + alpha * (v - level)
+    assert abs(float(out2["level"].iloc[0]) - level) < 1e-12
+    # tie on the watermark itself (same ts AND event_id) also drops
+    out3 = list(
+        _ses_fold(("7",), iter([batch([40], [4], [123.0])]), state, alpha)
+    )[0]
+    assert int(out3["n"].iloc[0]) == 4
+    assert int(out3["n_late"].iloc[0]) == 2
