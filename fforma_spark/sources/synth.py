@@ -119,3 +119,138 @@ def synth_sequences_pandas(n_docs: int = 256, seed: int = 42) -> pd.DataFrame:
             "source": [r[2] for r in rows],
         }
     )
+
+
+DOCS_SCHEMA = "doc_id string, text string, source string, n_chars int"
+
+_DOC_VOCAB = 30_000
+_DUP_EVERY = 5  # every 5th doc is a near-duplicate of its block head
+_MUTATE_FRAC = 0.1
+
+
+def _word(i: int) -> str:
+    """Deterministic pseudo-word for vocab id i (letters only, so the
+    whitespace tokenizer and shingle ops see a clean corpus)."""
+    chars = []
+    v = (i * 2654435761) % (26**5)
+    for _ in range(5):
+        chars.append(chr(97 + v % 26))
+        v //= 26
+    return "".join(chars)
+
+
+def _draw_word_ids(rng: np.random.Generator) -> np.ndarray:
+    """Topic-mixture word draw (the shape of real corpora): ~25% of
+    positions come from a small global head pool (stopword-like
+    sharing across ALL docs), the rest from a doc-specific topic
+    window of the vocab. Pure-zipf draws make every doc majority-
+    identical in its head words, which degenerates every signature
+    scheme (minhash minima, simhash majority bits) to near-all-pairs —
+    that benchmarks the corpus, not the operator."""
+    n = max(20, int(np.exp(rng.normal(4.3, 0.5))))
+    n = min(n, 2000)
+    head = rng.zipf(1.7, n) % 200                      # global pool
+    start = int(rng.integers(0, _DOC_VOCAB - 512))     # topic window
+    topic = start + rng.integers(0, 512, n)
+    use_head = rng.random(n) < 0.25
+    return np.where(use_head, head, topic) % _DOC_VOCAB
+
+
+def _gen_doc(seed: int, idx: int) -> tuple[str, str, str]:
+    """One deterministic document from (seed, idx). Docs with
+    idx % _DUP_EVERY == _DUP_EVERY-1 are near-duplicates of their block
+    head (same draw, ~10% of word positions mutated) — a controlled dup
+    rate for the dedup pipeline bench."""
+    key_seed = seed + 1_000_003
+    parent = idx - (idx % _DUP_EVERY)
+    is_dup = idx % _DUP_EVERY == _DUP_EVERY - 1 and parent != idx
+    rng = np.random.Generator(np.random.Philox(key=[key_seed, idx]))
+    if is_dup:
+        rng_p = np.random.Generator(np.random.Philox(key=[key_seed, parent]))
+        ids = _draw_word_ids(rng_p)
+        k = max(1, int(len(ids) * _MUTATE_FRAC))
+        pos = rng.choice(len(ids), size=k, replace=False)
+        ids = ids.copy()
+        ids[pos] = rng.integers(0, _DOC_VOCAB, k)
+        source = "synth-neardup"
+    else:
+        ids = _draw_word_ids(rng)
+        source = "synth-base"
+    text = " ".join(_word(int(i)) for i in ids)
+    return str(idx), text, source
+
+
+def _doc_batches(it: Iterator[pd.DataFrame], seed: int) -> Iterator[pd.DataFrame]:
+    for pdf in it:
+        rows = [_gen_doc(seed, int(i)) for i in pdf["id"]]
+        yield pd.DataFrame(
+            {
+                "doc_id": [r[0] for r in rows],
+                "text": [r[1] for r in rows],
+                "source": [r[2] for r in rows],
+                "n_chars": np.array([len(r[1]) for r in rows], dtype=np.int32),
+            }
+        )
+
+
+def synth_documents(
+    spark: SparkSession,
+    n_docs: int = 256,
+    seed: int = 42,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Distributed deterministic documents corpus with a controlled
+    ~20% near-duplicate rate — the input for benching the dedup
+    pipeline at scale (counter-based Philox per doc: partitioning-
+    independent, no driver materialization)."""
+    if partitions is None:
+        partitions = max(spark.sparkContext.defaultParallelism, 1)
+    base = spark.range(0, n_docs, 1, partitions)
+    gen = lambda it: _doc_batches(it, seed)  # noqa: E731
+    return base.mapInPandas(gen, schema=DOCS_SCHEMA)
+
+
+EMB_SCHEMA = "vec_id long, embedding array<float>, label int"
+
+_EMB_DIM = 64
+_EMB_CLUSTERS = 64
+
+
+def _emb_batches(it: Iterator[pd.DataFrame], seed: int) -> Iterator[pd.DataFrame]:
+    for pdf in it:
+        ids = pdf["id"].to_numpy()
+        embs, labels = [], []
+        for i in ids:
+            rng = np.random.Generator(np.random.Philox(key=[seed + 7, int(i)]))
+            c = int(i) % _EMB_CLUSTERS
+            center_rng = np.random.Generator(
+                np.random.Philox(key=[seed + 11, c])
+            )
+            center = center_rng.normal(0.0, 1.0, _EMB_DIM)
+            v = center + rng.normal(0.0, 0.6, _EMB_DIM)
+            embs.append(v.astype(np.float32))
+            labels.append(c)
+        yield pd.DataFrame(
+            {
+                "vec_id": ids.astype(np.int64),
+                "embedding": embs,
+                "label": np.array(labels, dtype=np.int32),
+            }
+        )
+
+
+def synth_embeddings(
+    spark: SparkSession,
+    n_vecs: int = 1024,
+    seed: int = 42,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic clustered embeddings (64 Gaussian clusters in
+    R^64) for benching the ANN operators at scale: cluster structure
+    gives LSH/IVF recall something real to find; counter-based Philox
+    per vec keeps generation partitioning-independent."""
+    if partitions is None:
+        partitions = max(spark.sparkContext.defaultParallelism, 1)
+    base = spark.range(0, n_vecs, 1, partitions)
+    gen = lambda it: _emb_batches(it, seed)  # noqa: E731
+    return base.mapInPandas(gen, schema=EMB_SCHEMA)

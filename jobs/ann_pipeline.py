@@ -1,0 +1,109 @@
+"""spark-submit job: ANN similarity search at stored-corpus scale.
+
+Runs brute-force kNN (the recall oracle), LSH-bucketed top-k, and IVF
+top-k (with one Lloyd iteration) over a stored embeddings parquet and
+prints ONE JSON line with per-op wall time + recall@k vs brute force.
+
+    spark-submit --py-files fforma_spark.zip jobs/ann_pipeline.py \
+        --input /path/embeddings.parquet
+
+With --synth N --store PATH the deterministic clustered corpus is
+written first so both parallelism levels read identical bytes.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", help="stored embeddings parquet")
+    ap.add_argument("--synth", type=int, default=0)
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--store", help="write the synth corpus here and exit")
+    ap.add_argument("--queries", type=int, default=8)
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--cells", type=int, default=64)
+    ap.add_argument("--nprobe", type=int, default=4)
+    args = ap.parse_args()
+
+    from fforma_spark.session import get_spark
+
+    spark = get_spark(app_name="ann-pipeline")
+
+    if args.store:
+        from fforma_spark.sources.synth import synth_embeddings
+
+        if not args.synth:
+            ap.error("--store requires --synth N")
+        synth_embeddings(spark, args.synth, args.seed).write.mode(
+            "overwrite"
+        ).parquet(args.store)
+        n = spark.read.parquet(args.store).count()
+        print(json.dumps({"stored": args.store, "n_vecs": n}))
+        return
+
+    if args.input:
+        emb = spark.read.parquet(args.input)
+    elif args.synth:
+        from fforma_spark.sources.synth import synth_embeddings
+
+        emb = synth_embeddings(spark, args.synth, args.seed)
+    else:
+        ap.error("one of --input / --synth is required")
+
+    from fforma_spark.pipeline import similarity as S
+
+    n_vecs = emb.count()
+    nq, k = args.queries, args.k
+    out: dict = {
+        "metric": "ann pipeline wall time",
+        "unit": "sec",
+        "n_vecs": n_vecs,
+        "master": spark.sparkContext.master,
+        "queries": nq,
+        "k": k,
+        "ops": {},
+    }
+
+    def run(name, build):
+        t0 = time.time()
+        pairs = {
+            (r["query_id"], r["cand_id"]) for r in build().collect()
+        }
+        out["ops"][name] = {"sec": round(time.time() - t0, 3), "rows": len(pairs)}
+        return pairs
+
+    truth = run("knn_bruteforce", lambda: S.knn_bruteforce(emb, nq, k))
+    lsh = run("ann_lsh_topk", lambda: S.ann_lsh_topk(emb, nq, k))
+    ivf0 = run(
+        "ann_ivf_topk",
+        lambda: S.ann_ivf_topk(emb, nq, k, args.cells, args.nprobe),
+    )
+    ivf1 = run(
+        "ann_ivf_lloyd1_topk",
+        lambda: S.ann_ivf_topk(
+            emb, nq, k, args.cells, args.nprobe, lloyd_iters=1
+        ),
+    )
+    for name, pairs in (
+        ("ann_lsh_topk", lsh),
+        ("ann_ivf_topk", ivf0),
+        ("ann_ivf_lloyd1_topk", ivf1),
+    ):
+        out["ops"][name]["recall_at_k"] = round(
+            len(pairs & truth) / max(len(truth), 1), 4
+        )
+    out["value"] = round(sum(o["sec"] for o in out["ops"].values()), 3)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

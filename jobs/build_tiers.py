@@ -27,7 +27,12 @@ def main() -> None:
     ap.add_argument("--input", help="parquet dir of the sequences table")
     ap.add_argument("--synth", type=int, default=0, help="generate N docs instead")
     ap.add_argument("--seed", type=int, default=42)
-    ap.add_argument("--output", required=True, help="tier output base dir")
+    ap.add_argument(
+        "--store-input",
+        help="with --synth: write the generated sequences parquet here "
+        "and exit (so scaling legs read identical stored bytes)",
+    )
+    ap.add_argument("--output", required=False, help="tier output base dir")
     ap.add_argument(
         "--tiers",
         default="t1m:60,t1h:3600,t1d:86400",
@@ -73,6 +78,17 @@ def main() -> None:
     from fforma_spark.session import warm_python_workers
 
     spark = SparkSession.builder.appName("fforma_spark_build_tiers").getOrCreate()
+    if args.store_input:
+        if not args.synth:
+            ap.error("--store-input requires --synth N")
+        synth_sequences(spark, args.synth, args.seed).write.mode(
+            "overwrite"
+        ).parquet(args.store_input)
+        n = spark.read.parquet(args.store_input).count()
+        print(json.dumps({"stored": args.store_input, "n_docs": n}))
+        return
+    if not args.output:
+        ap.error("--output is required")
     if args.compress or args.features:
         warm_python_workers(spark)
     t0 = time.time()
