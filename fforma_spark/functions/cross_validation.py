@@ -5,9 +5,12 @@ StratifiedKFold over series — stratified by the id's first character,
 shuffled with a fixed seed — scoring each Optuna trial by the mean
 held-out weighted loss; plus the deterministic grid harness
 (fforma/experiments/experiment.py:356-393: itertools.product over the
-spec dict, seed-1 shuffled). Optuna's TPE is replaced by the grid /
-random search over the same objective (no optuna in this container;
-the SEARCH SPACE + CV scoring semantics are the ported contract).
+spec dict, seed-1 shuffled). This module carries the exhaustive grid
+and successive-halving searches; the reference's adaptive flow —
+TPESampler + MedianPruner — is implemented from scratch in
+fforma_spark/functions/hpo.py (no optuna in this container; the
+SEARCH SPACE + CV scoring semantics here are the ported contract,
+shared by all three searchers).
 
 Spark shape: model selection operates on the 1-row-per-series matrix,
 collected ONCE through the same budget-capped path as training

@@ -28,6 +28,16 @@ def main() -> None:
     ap.add_argument("--output", required=True)
     ap.add_argument("--horizon", type=int, default=8)
     ap.add_argument("--rounds", type=int, default=30)
+    ap.add_argument(
+        "--hpo",
+        choices=("none", "grid", "halving", "tpe"),
+        default="none",
+        help="meta-learner hyper-parameter search: exhaustive grid CV, "
+        "successive halving, or the from-scratch TPE+median-pruner "
+        "study (the reference's optuna flow, cross_validation/"
+        "common.py:100-117)",
+    )
+    ap.add_argument("--hpo-trials", type=int, default=20)
     args = ap.parse_args()
 
     import os
@@ -86,10 +96,45 @@ def main() -> None:
 
     loss_cols = [c.removesuffix("_forec") + "_owa" for c in FORECAST_COLS]
     errors = ev.select("doc_id", *loss_cols).na.fill(0.0)
-    model, kept, fcols = fit_fforma_spark(
-        feats, errors, loss_cols, benchmark="naive2_owa",
-        n_rounds=args.rounds, max_depth=3,
-    )
+    hpo_info = None
+    if args.hpo == "none":
+        model, kept, fcols = fit_fforma_spark(
+            feats, errors, loss_cols, benchmark="naive2_owa",
+            n_rounds=args.rounds, max_depth=3,
+        )
+    elif args.hpo == "grid":
+        from fforma_spark.functions.cross_validation import (
+            cross_validate_fforma,
+        )
+
+        best, loss, trials, model, kept, fcols = cross_validate_fforma(
+            feats, errors, loss_cols, benchmark="naive2_owa",
+        )
+        hpo_info = {"mode": "grid", "best": best, "cv_loss": round(loss, 6),
+                    "n_trials": len(trials)}
+    elif args.hpo == "halving":
+        from fforma_spark.functions.cross_validation import (
+            successive_halving_fforma,
+        )
+
+        best, loss, trials, model, kept, fcols, cost = (
+            successive_halving_fforma(
+                feats, errors, loss_cols, benchmark="naive2_owa",
+            )
+        )
+        hpo_info = {"mode": "halving", "best": best,
+                    "cv_loss": round(loss, 6),
+                    "cost_ratio": round(cost["ratio"], 4)}
+    else:
+        from fforma_spark.functions.hpo import tpe_cross_validate_fforma
+
+        best, loss, study, model, kept, fcols = tpe_cross_validate_fforma(
+            feats, errors, loss_cols, benchmark="naive2_owa",
+            n_trials=args.hpo_trials, seed=args.seed,
+        )
+        pruned = sum(t["state"] == "pruned" for t in study.trials)
+        hpo_info = {"mode": "tpe", "best": best, "cv_loss": round(loss, 6),
+                    "n_trials": len(study.trials), "n_pruned": pruned}
     w = fforma_weights_df(spark, model, feats, fcols, kept)
     w.write.mode("overwrite").parquet(f"{args.output}/weights")
 
@@ -124,6 +169,7 @@ def main() -> None:
                 ],
                 "ensemble_smape": round(float(ens_smape), 4),
                 "series_per_sec": round(n_series / max(wall, 1e-9), 1),
+                **({"hpo": hpo_info} if hpo_info else {}),
             }
         )
     )
