@@ -239,6 +239,69 @@ def extract_features(docs: DataFrame) -> DataFrame:
 
 FEATURES_THUMBS_SCHEMA = FEATURES_SCHEMA + ", thumb array<float>"
 
+# DuckDB twin of features_with_thumbs: the payload is encode(text), so
+# the byte stream is recoverable in SQL via hex() + a hex-digit
+# instr() fold; the 16×16-tile → 8×8 half-pixel bilinear resize
+# reduces EXACTLY to 2×2 block means (in=2·out ⇒ fy=fx=0.5), so each
+# thumb value is (b[2i,2j]+b[2i+1,2j]+b[2i,2j+1]+b[2i+1,2j+1])/4 over
+# the tiled byte grid — quarter-integers, exactly representable in
+# float32, hence hash-identical across engines at 6dp.
+FEATURES_THUMBS_SQL = """
+WITH p AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS n
+  FROM documents
+),
+b AS (
+  SELECT doc_id, n,
+    list_transform(range(1, n + 1), i ->
+      (instr('0123456789ABCDEF', substr(hx, 2*i-1, 1)) - 1) * 16
+      + (instr('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1)) AS bytes
+  FROM p
+),
+stats AS (
+  SELECT doc_id, n, bytes,
+    CAST(n AS DOUBLE) AS n_bytes,
+    coalesce(list_avg(bytes), 0.0) AS byte_mean,
+    CASE WHEN n = 0 THEN 0.0 ELSE
+      sqrt(list_avg(list_transform(bytes, x ->
+        (x - list_avg(bytes)) * (x - list_avg(bytes)))))
+    END AS byte_std,
+    CASE WHEN n = 0 THEN 0.0 ELSE
+      list_avg(list_transform(bytes, x ->
+        CASE WHEN x >= 32 AND x < 127 THEN 1.0 ELSE 0.0 END))
+    END AS printable_ratio
+  FROM b
+),
+ent AS (
+  SELECT doc_id,
+         -sum((c / tot) * log2(c / tot)) AS byte_entropy
+  FROM (
+    SELECT doc_id, byte, CAST(count(*) AS DOUBLE) AS c,
+           CAST(sum(count(*)) OVER (PARTITION BY doc_id) AS DOUBLE) AS tot
+    FROM (SELECT doc_id, unnest(bytes) AS byte FROM b)
+    GROUP BY doc_id, byte
+  )
+  GROUP BY doc_id
+),
+thumb AS (
+  SELECT doc_id,
+    list_transform(range(0, 64), k ->
+      CAST((
+        coalesce(bytes[(((k // 8) * 2    ) * 16 + (k % 8) * 2    ) % greatest(n,1) + 1], 0)
+      + coalesce(bytes[(((k // 8) * 2 + 1) * 16 + (k % 8) * 2    ) % greatest(n,1) + 1], 0)
+      + coalesce(bytes[(((k // 8) * 2    ) * 16 + (k % 8) * 2 + 1) % greatest(n,1) + 1], 0)
+      + coalesce(bytes[(((k // 8) * 2 + 1) * 16 + (k % 8) * 2 + 1) % greatest(n,1) + 1], 0)
+      ) / 4.0 AS DOUBLE)) AS thumb
+  FROM b
+)
+SELECT s.doc_id, s.n_bytes, s.byte_mean, s.byte_std,
+       coalesce(e.byte_entropy, 0.0) AS byte_entropy,
+       s.printable_ratio, t.thumb
+FROM stats s LEFT JOIN ent e USING (doc_id) JOIN thumb t USING (doc_id)
+"""
+
 
 def features_with_thumbs(
     docs: DataFrame, out_h: int = 8, out_w: int = 8

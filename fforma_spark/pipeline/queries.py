@@ -229,8 +229,11 @@ def multimodal_frame_index(spark, sf_dir):
     return M.frame_index(_docs(spark, sf_dir))
 
 
-@register("multimodal_features")  # rows-only: numpy oracle in pytest
+@register("multimodal_features", M.FEATURES_THUMBS_SQL)
 def multimodal_features(spark, sf_dir):
     """Byte features + decode(stand-in)→REAL bilinear 8×8 thumbnail in
-    one Arrow-batched mapInPandas pass (each payload read once)."""
+    one Arrow-batched mapInPandas pass (each payload read once). The
+    DuckDB twin recovers the byte stream with hex()+instr and exploits
+    the 16→8 bilinear = 2×2-block-mean identity, so even the thumbnail
+    floats are value-hash-checked by the driver."""
     return M.features_with_thumbs(_docs(spark, sf_dir))

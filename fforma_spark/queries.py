@@ -1022,45 +1022,151 @@ def base_forecasts_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Naive2 in SQL — the OWA benchmark (fforma/base/_models.py:309-358)
+# reduced to its closed form: since deseasonalized-naive ⋅ reseasonalize
+# only ever reads the LAST deseasonalized value and the tiled seasonal
+# indices, naive2(pos) = si[(n-s+pos%s) mod s] · last / si[(n-1) mod s]
+# when the 90%-acf seasonality test fires, else plain naive. The si
+# list replicates ratio-to-centered-MA indices including the
+# reference's even-LENGTH double-MA quirk (kernels.centered_ma).
+_NAIVE2_SI_SQL = f"""
+    WITH t0 AS ({_TAGGED_TRAIN_SQL}),
+    tx AS (
+        SELECT doc_id, h, s, n_train AS n,
+               list_transform(train, x -> CAST(x AS DOUBLE)) AS xs
+        FROM t0
+    ),
+    base AS (
+        SELECT *, xs[n] AS last_v, list_avg(xs) AS m FROM tx
+    ),
+    dev AS (
+        SELECT *, list_transform(xs, x -> x - m) AS d,
+               list_sum(list_transform(xs, x -> (x - m) * (x - m))) AS s2
+        FROM base
+    ),
+    ac AS (
+        SELECT *,
+            list_transform(range(1, s + 1), k ->
+                CASE WHEN s2 = 0 THEN NULL
+                     WHEN k >= n THEN 0.0
+                     ELSE list_sum(list_transform(range(k + 1, n + 1),
+                              i -> d[i] * d[i - k])) / s2
+                END) AS acfs
+        FROM dev
+    ),
+    flag AS (
+        SELECT *,
+            (s > 1 AND n >= 2 * s AND abs(acfs[s]) >
+             (CASE WHEN 1 + 2 * (acfs[1] + coalesce(list_sum(
+                       list_transform(range(2, s), i -> acfs[i] * acfs[i])),
+                       0)) > 0
+                   THEN 1.645 * sqrt((1 + 2 * (acfs[1] + coalesce(list_sum(
+                        list_transform(range(2, s), i -> acfs[i] * acfs[i])),
+                        0))) / n)
+                   ELSE 0 END)) AS seasonal
+        FROM ac
+    ),
+    ma AS (
+        SELECT *,
+            list_transform(range(0, n), j ->
+                CASE WHEN j - s // 2 >= 0 AND j + (s - 1) // 2 <= n - 1
+                     THEN list_avg(list_slice(xs, j - s // 2 + 1,
+                                                  j + (s - 1) // 2 + 1))
+                END) AS ma0
+        FROM flag
+    ),
+    maf AS (
+        SELECT *,
+            CASE WHEN n % 2 = 0
+                 THEN list_transform(range(0, n), j ->
+                        CASE WHEN j < n - 1
+                             THEN (ma0[j + 1] + ma0[j + 2]) / 2 END)
+                 ELSE ma0 END AS mac
+        FROM ma
+    ),
+    sir AS (
+        SELECT *,
+            list_transform(range(0, s), p -> list_avg(list_transform(
+                range(0, CAST(ceil(CAST(n AS DOUBLE) / s) AS BIGINT)),
+                w -> xs[w * s + p + 1] * 100.0 / mac[w * s + p + 1]))) AS si_raw
+        FROM maf
+    )
+    SELECT doc_id, seasonal, n, s, last_v,
+           list_transform(si_raw, v -> v * s * 100.0 / list_sum(si_raw))
+               AS si_n
+    FROM sir
+"""
+
+
 @register(
     "eval_closed_form_documents",
     f"""
     WITH fc AS ({_TAGGED_FC_SQL}),
+    n2 AS ({_NAIVE2_SI_SQL}),
     r AS (
-        SELECT doc_id, pos,
+        SELECT fc.doc_id, pos,
                CAST(tokens[n_tok - h + pos + 1] AS DOUBLE) AS y,
-               last_v AS naive_f,
-               CAST(train[n_train - LEAST(s, n_train) + (pos % LEAST(s, n_train)) + 1] AS DOUBLE) AS snaive_f,
+               fc.last_v AS naive_f,
+               CAST(train[n_train - LEAST(fc.s, n_train) + (pos % LEAST(fc.s, n_train)) + 1] AS DOUBLE) AS snaive_f,
                CASE WHEN n_train > 1
-                    THEN last_v + (last_v - first_v) / (n_train - 1) * (pos + 1)
-                    ELSE last_v END AS rw_drift_f,
+                    THEN fc.last_v + (fc.last_v - first_v) / (n_train - 1) * (pos + 1)
+                    ELSE fc.last_v END AS rw_drift_f,
                avg_f AS average_f,
+               CASE WHEN n2.seasonal
+                    THEN n2.si_n[((n_train - fc.s + (pos % fc.s)) % fc.s) + 1] * fc.last_v
+                         / n2.si_n[((n_train - 1) % fc.s) + 1]
+                    ELSE fc.last_v END AS naive2_f,
                list_aggregate(
-                   list_transform(generate_series(s + 1, n_train),
+                   list_transform(generate_series(fc.s + 1, n_train),
                        i -> abs(CAST(train[i] AS DOUBLE)
-                                - CAST(train[i - s] AS DOUBLE))),
+                                - CAST(train[i - fc.s] AS DOUBLE))),
                    'avg') AS mase_scale
-        FROM fc
-        WHERE n_train > s  -- Spark's mase_scale inner join drops
+        FROM fc JOIN n2 ON fc.doc_id = n2.doc_id
+        WHERE n_train > fc.s  -- Spark's mase_scale inner join drops
                            -- docs with no lag-s in-sample pairs
+    ),
+    agg AS (
+        SELECT doc_id,
+               200 * avg(CASE WHEN abs(y) + abs(naive_f) <> 0 THEN abs(y - naive_f) / (abs(y) + abs(naive_f)) END) AS naive_smape,
+               CASE WHEN any_value(mase_scale) <> 0 THEN 100 * avg(abs(y - naive_f)) / any_value(mase_scale) END AS naive_mase,
+               200 * avg(CASE WHEN abs(y) + abs(snaive_f) <> 0 THEN abs(y - snaive_f) / (abs(y) + abs(snaive_f)) END) AS snaive_smape,
+               CASE WHEN any_value(mase_scale) <> 0 THEN 100 * avg(abs(y - snaive_f)) / any_value(mase_scale) END AS snaive_mase,
+               200 * avg(CASE WHEN abs(y) + abs(rw_drift_f) <> 0 THEN abs(y - rw_drift_f) / (abs(y) + abs(rw_drift_f)) END) AS rw_drift_smape,
+               CASE WHEN any_value(mase_scale) <> 0 THEN 100 * avg(abs(y - rw_drift_f)) / any_value(mase_scale) END AS rw_drift_mase,
+               200 * avg(CASE WHEN abs(y) + abs(average_f) <> 0 THEN abs(y - average_f) / (abs(y) + abs(average_f)) END) AS average_smape,
+               CASE WHEN any_value(mase_scale) <> 0 THEN 100 * avg(abs(y - average_f)) / any_value(mase_scale) END AS average_mase,
+               200 * avg(CASE WHEN abs(y) + abs(naive2_f) <> 0 THEN abs(y - naive2_f) / (abs(y) + abs(naive2_f)) END) AS naive2_smape,
+               CASE WHEN any_value(mase_scale) <> 0 THEN 100 * avg(abs(y - naive2_f)) / any_value(mase_scale) END AS naive2_mase
+        FROM r GROUP BY doc_id
     )
     SELECT doc_id,
-           {sql_round6("200 * avg(CASE WHEN abs(y) + abs(naive_f) <> 0 THEN abs(y - naive_f) / (abs(y) + abs(naive_f)) END)")} AS naive_smape,
-           {sql_round6("CASE WHEN any_value(mase_scale) <> 0 THEN 100 * avg(abs(y - naive_f)) / any_value(mase_scale) END")} AS naive_mase,
-           {sql_round6("200 * avg(CASE WHEN abs(y) + abs(snaive_f) <> 0 THEN abs(y - snaive_f) / (abs(y) + abs(snaive_f)) END)")} AS snaive_smape,
-           {sql_round6("CASE WHEN any_value(mase_scale) <> 0 THEN 100 * avg(abs(y - snaive_f)) / any_value(mase_scale) END")} AS snaive_mase,
-           {sql_round6("200 * avg(CASE WHEN abs(y) + abs(rw_drift_f) <> 0 THEN abs(y - rw_drift_f) / (abs(y) + abs(rw_drift_f)) END)")} AS rw_drift_smape,
-           {sql_round6("CASE WHEN any_value(mase_scale) <> 0 THEN 100 * avg(abs(y - rw_drift_f)) / any_value(mase_scale) END")} AS rw_drift_mase,
-           {sql_round6("200 * avg(CASE WHEN abs(y) + abs(average_f) <> 0 THEN abs(y - average_f) / (abs(y) + abs(average_f)) END)")} AS average_smape,
-           {sql_round6("CASE WHEN any_value(mase_scale) <> 0 THEN 100 * avg(abs(y - average_f)) / any_value(mase_scale) END")} AS average_mase
-    FROM r GROUP BY doc_id
+           {sql_round6('naive_smape')} AS naive_smape,
+           {sql_round6('naive_mase')} AS naive_mase,
+           {sql_round6('snaive_smape')} AS snaive_smape,
+           {sql_round6('snaive_mase')} AS snaive_mase,
+           {sql_round6('rw_drift_smape')} AS rw_drift_smape,
+           {sql_round6('rw_drift_mase')} AS rw_drift_mase,
+           {sql_round6('average_smape')} AS average_smape,
+           {sql_round6('average_mase')} AS average_mase,
+           {sql_round6('naive2_smape')} AS naive2_smape,
+           {sql_round6('naive2_mase')} AS naive2_mase,
+           {sql_round6('(naive_mase / nullif(naive2_mase, 0) + naive_smape / nullif(naive2_smape, 0)) / 2')} AS naive_owa,
+           {sql_round6('(snaive_mase / nullif(naive2_mase, 0) + snaive_smape / nullif(naive2_smape, 0)) / 2')} AS snaive_owa,
+           {sql_round6('(rw_drift_mase / nullif(naive2_mase, 0) + rw_drift_smape / nullif(naive2_smape, 0)) / 2')} AS rw_drift_owa,
+           {sql_round6('(average_mase / nullif(naive2_mase, 0) + average_smape / nullif(naive2_smape, 0)) / 2')} AS average_owa,
+           {sql_round6('(naive2_mase / nullif(naive2_mase, 0) + naive2_smape / nullif(naive2_smape, 0)) / 2')} AS naive2_owa
+    FROM agg
     """,
 )
 def eval_closed_form_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-series smape + mase for the closed-form kernel forecasts
-    over the tagged documents corpus — the SQL-oracled twin of the
-    owa_eval contribution-to-error path (fforma/metrics/numpy/
-    metrics.py:117-180), per-prefix seasonality in the MASE scale."""
+    """Per-series smape + mase + OWA-vs-Naive2 for the closed-form
+    kernel forecasts over the tagged documents corpus — the SQL-oracled
+    twin of the owa_eval contribution-to-error path (fforma/metrics/
+    numpy/metrics.py:117-243), per-prefix seasonality in the MASE
+    scale. The Naive2 benchmark itself (seasonality test, centered-MA
+    ratio indices, deseasonalized naive) runs through the SAME
+    mapInPandas kernel as owa_eval_documents, so the full OWA formula
+    — benchmark included — is value-hash-checked by the driver."""
     from fforma_spark.functions.metrics import evaluate_with_owa, mase_scale
     from fforma_spark.functions.models import (
         base_forecasts,
@@ -1069,7 +1175,13 @@ def eval_closed_form_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     seq = _tagged_sequences(spark, sf_dir)
-    cols = ["naive_forec", "snaive_forec", "rw_drift_forec", "average_forec"]
+    cols = [
+        "naive_forec",
+        "snaive_forec",
+        "rw_drift_forec",
+        "average_forec",
+        "naive2_forec",
+    ]
     fc = base_forecasts(seq, default_h=8).select("doc_id", "pos", *cols)
     truth = holdout_truth(seq, default_h=8)
     train_panel = explode_panel(train_split(seq, default_h=8)).select(
@@ -1077,7 +1189,7 @@ def eval_closed_form_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s_expr = F.when(F.substring("doc_id", 1, 1) == "Q", 4).otherwise(7)
     scale = mase_scale(train_panel, s_expr)
-    out = evaluate_with_owa(truth, fc, cols, scale, bench=None)
+    out = evaluate_with_owa(truth, fc, cols, scale, bench="naive2_forec")
     return out.select(
         "doc_id",
         *[stable_round6(c).alias(c) for c in out.columns if c != "doc_id"],
