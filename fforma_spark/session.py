@@ -12,6 +12,17 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_shuffle_partitions(master: str, cpus: int) -> int:
+    """Match shuffle parallelism to the execution width: the local[N]
+    thread count when local, else the env-declared core budget (a real
+    cluster sizes this via --conf; AQE coalesces small partitions at
+    runtime either way)."""
+    if master.startswith("local[") and master.endswith("]"):
+        n = master[6:-1]
+        return cpus if n == "*" else int(n)
+    return cpus
+
+
 def get_spark(
     app_name: str = "fforma_spark",
     master: str | None = None,
@@ -20,22 +31,24 @@ def get_spark(
 ) -> SparkSession:
     """Build (or fetch) a SparkSession with engine defaults.
 
-    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (32). On a real
-    cluster, pass ``None`` and let spark-submit supply the master.
+    Under spark-submit (detected via the py4j gateway env), the
+    submitted ``--master`` wins; as a plain python process ``master``
+    defaults to ``local[$SPARK_GRAFT_CPUS]`` (32). Explicit arguments
+    override both.
     """
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    if master is None:
+    # Under spark-submit the driver JVM already exists (py4j gateway
+    # env vars are set) and carries the submitted --master; forcing
+    # local[N] here would silently turn a cluster job into a local
+    # one. Only default to local[$SPARK_GRAFT_CPUS] when launched as
+    # a plain python process.
+    under_submit = "PYSPARK_GATEWAY_PORT" in os.environ
+    if master is None and not under_submit:
         master = f"local[{cpus}]"
-    if shuffle_partitions is None:
-        # match parallelism; AQE coalesces small partitions at runtime
-        n = master[6:-1] if master.startswith("local[") else str(cpus)
-        shuffle_partitions = cpus if n == "*" else int(n)
 
     mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
     builder = (
-        SparkSession.builder.master(master)
-        .appName(app_name)
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        SparkSession.builder.appName(app_name)
         # Single-JVM local mode: many task threads contend on the
         # process mmap_lock (measured: threads stuck in
         # lock_mm_and_find_vma/__vm_munmap during shuffles). Fixed,
@@ -62,9 +75,22 @@ def get_spark(
         .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
         .config("spark.executorEnv.MKL_NUM_THREADS", "1")
     )
+    if master is not None:
+        builder = builder.master(master)
+    if shuffle_partitions is not None:
+        builder = builder.config(
+            "spark.sql.shuffle.partitions", str(shuffle_partitions)
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
+    if shuffle_partitions is None:
+        # resolve against the ACTUAL master (submitted or defaulted);
+        # runtime-settable, AQE coalesces below it anyway
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(_default_shuffle_partitions(spark.sparkContext.master, cpus)),
+        )
     spark.sparkContext.setLogLevel("WARN")
     return spark
 
