@@ -49,6 +49,21 @@ def _run_leg(job: str, extra: list[str], cpus: int) -> dict:
         _submit_bin(),
         "--master",
         f"local[{cpus}]",
+        # single-JVM local mode: the driver heap IS the executor heap —
+        # the spark-submit default (1g) OOMs the 32-thread leg on whale
+        # token arrays. Mirror fforma_spark.session.get_spark's tuned
+        # local-mode JVM exactly (fixed pre-touched heap, ParallelGC,
+        # no shuffle-block mmap): without it the 32-thread leg loses
+        # ~2x to mmap_lock contention and GC region churn, corrupting
+        # the scaling-efficiency measurement.
+        "--driver-memory",
+        os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+        "--conf",
+        "spark.driver.extraJavaOptions="
+        f"-Xms{os.environ.get('SPARK_GRAFT_DRIVER_MEM', '16g')} "
+        "-XX:+AlwaysPreTouch -XX:+UseParallelGC",
+        "--conf",
+        "spark.storage.memoryMapThreshold=2g",
         "--py-files",
         ZIP,
         os.path.join(REPO, job),

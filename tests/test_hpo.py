@@ -24,6 +24,37 @@ from fforma_spark.functions.hpo import (
 )
 
 
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HAS_HYP = True
+except Exception:  # noqa: BLE001
+    _HAS_HYP = False
+
+
+if _HAS_HYP:
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        obs=st.lists(
+            st.floats(min_value=0.51, max_value=9.99), min_size=1, max_size=12
+        ),
+        log=st.booleans(),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def test_parzen_fuzz_bounds_and_finite_density(obs, log, seed):
+        """For arbitrary observation sets: samples stay in [low, high]
+        and log_pdf is finite everywhere inside the domain."""
+        pz = _Parzen(np.array(obs), 0.5, 10.0, log)
+        rng = np.random.RandomState(seed)
+        s = pz.sample(rng, 64)
+        assert s.min() >= 0.5 - 1e-9 and s.max() <= 10.0 + 1e-9
+        xs = np.linspace(0.5, 10.0, 257)
+        lp = pz.log_pdf(xs)
+        assert np.all(np.isfinite(lp))
+
+
 def test_erf_matches_math_erf():
     z = np.linspace(-4, 4, 201)
     got = _erf(z)
