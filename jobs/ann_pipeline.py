@@ -87,10 +87,13 @@ def main() -> None:
         "ann_ivf_topk",
         lambda: S.ann_ivf_topk(emb, nq, k, args.cells, args.nprobe),
     )
+    # production path: double-sum Lloyd (the decimal-exact variant
+    # exists for the DuckDB oracle's bit-identity, not for throughput)
     ivf1 = run(
         "ann_ivf_lloyd1_topk",
         lambda: S.ann_ivf_topk(
-            emb, nq, k, args.cells, args.nprobe, lloyd_iters=1
+            emb, nq, k, args.cells, args.nprobe,
+            lloyd_iters=1, lloyd_exact=False,
         ),
     )
     for name, pairs in (

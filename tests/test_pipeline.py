@@ -304,6 +304,41 @@ def test_ivf_lloyd_recall_not_worse_than_seed(spark):
     assert r1 >= r0, (r0, r1)
 
 
+def test_ivf_lloyd_fast_path_matches_exact_to_quantization(spark):
+    """The production double-sum Lloyd (exact=False) must agree with
+    the decimal-exact oracle path to within the oracle's own
+    DECIMAL(27,10) quantization (1e-10 per element), and produce the
+    SAME top-k result set on the test corpus — throughput is the only
+    difference (same plan shape, cheaper hash aggregate)."""
+    import numpy as np
+
+    emb = load_table(spark, SF, "embeddings")
+    e = emb.selectExpr("CAST(vec_id AS LONG) vec_id", "embedding")
+    cents = S._seed_centroids(e, 3, 8)
+    exact = {
+        r["cell_id"]: np.array(r["c_emb"])
+        for r in S.lloyd_refine(e, cents, exact=True).collect()
+    }
+    fast = {
+        r["cell_id"]: np.array(r["c_emb"])
+        for r in S.lloyd_refine(e, cents, exact=False).collect()
+    }
+    assert set(exact) == set(fast)
+    for cid in exact:
+        np.testing.assert_allclose(fast[cid], exact[cid], rtol=0, atol=1e-9)
+    a = {
+        (r["query_id"], r["cand_id"], r["rank"])
+        for r in S.ann_ivf_topk(emb, 3, 4, 8, 2, lloyd_iters=1).collect()
+    }
+    b = {
+        (r["query_id"], r["cand_id"], r["rank"])
+        for r in S.ann_ivf_topk(
+            emb, 3, 4, 8, 2, lloyd_iters=1, lloyd_exact=False
+        ).collect()
+    }
+    assert a == b
+
+
 def test_ivf_lloyd_centroids_deterministic_vs_duckdb(spark):
     """The decimal-exact Lloyd mean must be bit-identical across
     engines: compare the refined centroids from Spark against DuckDB
