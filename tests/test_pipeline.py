@@ -306,10 +306,11 @@ def test_ivf_lloyd_recall_not_worse_than_seed(spark):
 
 def test_ivf_lloyd_fast_path_matches_exact_to_quantization(spark):
     """The production double-sum Lloyd (exact=False) must agree with
-    the decimal-exact oracle path to within the oracle's own
-    DECIMAL(27,10) quantization (1e-10 per element), and produce the
-    SAME top-k result set on the test corpus — throughput is the only
-    difference (same plan shape, cheaper hash aggregate)."""
+    the decimal-exact oracle path to within 10× the oracle's own
+    DECIMAL(27,10) quantization grain (atol 1e-9; measured max diff
+    ~1e-11 on this corpus), and produce the SAME top-k result set —
+    throughput is the only intended difference (same plan shape,
+    cheaper hash aggregate)."""
     import numpy as np
 
     emb = load_table(spark, SF, "embeddings")
