@@ -145,3 +145,27 @@ def run_update_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def run_update_stream_durable(
+    stateful: DataFrame, checkpoint_dir: str, out_dir: str
+) -> None:
+    """Drain the stream with availableNow through a foreachBatch
+    parquet sink — unlike the memory sink, this supports CHECKPOINT
+    RECOVERY: a killed query restarted against the same
+    ``checkpoint_dir`` resumes from the recorded source offsets AND the
+    state store, processing only new data (the production deployment
+    shape for the stateful operator; update rows append per batch,
+    downstream keeps the latest row per key)."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out_dir)
+
+    q = (
+        stateful.writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
