@@ -96,6 +96,31 @@ def batch_tier_rollup_events(
     )
 
 
+def run_append_durable(
+    rollup: DataFrame, checkpoint_dir: str, out_dir: str
+) -> None:
+    """Drain with availableNow through an APPEND-mode foreachBatch
+    parquet sink: each window row is emitted exactly once, when the
+    watermark passes its end. Unlike the complete-mode memory sink this
+    supports checkpoint recovery — a restarted query resumes from the
+    recorded offsets and the windowed state store, so a window whose
+    data spans the restart is emitted once with the MERGED stats (the
+    continuous-aggregate contract; un-finalized tail windows stay in
+    state until later data advances the watermark)."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out_dir)
+
+    q = (
+        rollup.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_available_now(
     rollup: DataFrame, checkpoint_dir: str, table_name: str
 ) -> None:
