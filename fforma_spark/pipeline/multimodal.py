@@ -260,19 +260,25 @@ b AS (
       + (instr('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1)) AS bytes
   FROM p
 ),
+bm AS (
+  -- mean hoisted out of the variance lambda: list_avg inside the
+  -- per-element transform would re-aggregate the whole byte list per
+  -- element (O(n^2) per payload)
+  SELECT *, list_avg(bytes) AS bmean FROM b
+),
 stats AS (
   SELECT doc_id, n, bytes,
     CAST(n AS DOUBLE) AS n_bytes,
-    coalesce(list_avg(bytes), 0.0) AS byte_mean,
+    coalesce(bmean, 0.0) AS byte_mean,
     CASE WHEN n = 0 THEN 0.0 ELSE
       sqrt(list_avg(list_transform(bytes, x ->
-        (x - list_avg(bytes)) * (x - list_avg(bytes)))))
+        (x - bmean) * (x - bmean))))
     END AS byte_std,
     CASE WHEN n = 0 THEN 0.0 ELSE
       list_avg(list_transform(bytes, x ->
         CASE WHEN x >= 32 AND x < 127 THEN 1.0 ELSE 0.0 END))
     END AS printable_ratio
-  FROM b
+  FROM bm
 ),
 ent AS (
   SELECT doc_id,

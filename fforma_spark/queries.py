@@ -1088,11 +1088,20 @@ _NAIVE2_SI_SQL = f"""
         SELECT *,
             list_transform(range(0, s), p -> list_avg(list_transform(
                 range(0, CAST(ceil(CAST(n AS DOUBLE) / s) AS BIGINT)),
-                w -> xs[w * s + p + 1] * 100.0 / mac[w * s + p + 1]))) AS si_raw
+                w -> xs[w * s + p + 1] * 100.0 / mac[w * s + p + 1]))) AS si_raw,
+            len(list_filter(mac, m -> m = 0)) > 0 AS mac_zero
         FROM maf
     )
     SELECT doc_id, seasonal, n, s, last_v,
-           list_transform(si_raw, v -> v * s * 100.0 / list_sum(si_raw))
+           -- known oracle-domain edge: a centered-MA of EXACTLY 0 makes
+           -- numpy produce IEEE inf/NaN seasonal indices (x*100/0),
+           -- which DuckDB's NULL-on-div-0 cannot replicate — fail LOUD
+           -- instead of silently diverging (never fires on the driver
+           -- corpora: validated at sf0.001/0.01/0.1)
+           list_transform(si_raw, v ->
+               CASE WHEN seasonal AND mac_zero
+                    THEN CAST(error('naive2 SQL oracle: zero centered-MA on a seasonal series — IEEE inf semantics not replicable in SQL; corpus outside oracle domain') AS DOUBLE)
+                    ELSE v * s * 100.0 / list_sum(si_raw) END)
                AS si_n
     FROM sir
 """

@@ -18,7 +18,8 @@ def _default_shuffle_partitions(master: str, cpus: int) -> int:
     cluster sizes this via --conf; AQE coalesces small partitions at
     runtime either way)."""
     if master.startswith("local[") and master.endswith("]"):
-        n = master[6:-1]
+        # local[N], local[*], and local[N,maxFailures] forms
+        n = master[6:-1].split(",")[0]
         return cpus if n == "*" else int(n)
     return cpus
 
@@ -84,9 +85,13 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
-    if shuffle_partitions is None:
-        # resolve against the ACTUAL master (submitted or defaulted);
-        # runtime-settable, AQE coalesces below it anyway
+    if shuffle_partitions is None and not spark.sparkContext.getConf().contains(
+        "spark.sql.shuffle.partitions"
+    ):
+        # No explicit setting anywhere — neither this call, nor a
+        # spark-submit --conf, nor the builder of a reused session
+        # (all three land in the context conf). Resolve the default
+        # against the ACTUAL master; never clobber an explicit value.
         spark.conf.set(
             "spark.sql.shuffle.partitions",
             str(_default_shuffle_partitions(spark.sparkContext.master, cpus)),

@@ -96,29 +96,46 @@ def batch_tier_rollup_events(
     )
 
 
-def run_append_durable(
-    rollup: DataFrame, checkpoint_dir: str, out_dir: str
+def run_durable(
+    df: DataFrame, checkpoint_dir: str, out_dir: str, output_mode: str
 ) -> None:
-    """Drain with availableNow through an APPEND-mode foreachBatch
-    parquet sink: each window row is emitted exactly once, when the
-    watermark passes its end. Unlike the complete-mode memory sink this
-    supports checkpoint recovery — a restarted query resumes from the
-    recorded offsets and the windowed state store, so a window whose
-    data spans the restart is emitted once with the MERGED stats (the
-    continuous-aggregate contract; un-finalized tail windows stay in
-    state until later data advances the watermark)."""
+    """Drain with availableNow through a foreachBatch parquet sink that
+    supports checkpoint recovery: a restarted query resumes from the
+    recorded offsets and the state store. The write is IDEMPOTENT on
+    batch retry — each micro-batch lands in its own
+    ``batch_id=<n>`` subdirectory with overwrite semantics, so a batch
+    re-executed after a crash between the data write and the
+    checkpoint commit replaces its own output instead of duplicating
+    it (the exactly-once contract foreachBatch leaves to the sink).
+    Read the result with ``spark.read.parquet(out_dir)`` (batch_id
+    appears as a partition column)."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.mode("append").parquet(out_dir)
+        batch_df.write.mode("overwrite").parquet(
+            f"{out_dir}/batch_id={batch_id}"
+        )
 
     q = (
-        rollup.writeStream.outputMode("append")
+        df.writeStream.outputMode(output_mode)
         .foreachBatch(sink)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
+
+
+def run_append_durable(
+    rollup: DataFrame, checkpoint_dir: str, out_dir: str
+) -> None:
+    """APPEND-mode durable drain of the watermarked window rollup:
+    each window row is emitted exactly once, when the watermark passes
+    its end; a window whose data spans a restart is emitted once with
+    the MERGED stats (the continuous-aggregate contract; un-finalized
+    tail windows stay in state until later data advances the
+    watermark). See run_durable for the recovery/idempotence
+    semantics."""
+    run_durable(rollup, checkpoint_dir, out_dir, "append")
 
 
 def run_available_now(

@@ -150,22 +150,13 @@ def run_update_stream(
 def run_update_stream_durable(
     stateful: DataFrame, checkpoint_dir: str, out_dir: str
 ) -> None:
-    """Drain the stream with availableNow through a foreachBatch
-    parquet sink — unlike the memory sink, this supports CHECKPOINT
-    RECOVERY: a killed query restarted against the same
-    ``checkpoint_dir`` resumes from the recorded source offsets AND the
-    state store, processing only new data (the production deployment
-    shape for the stateful operator; update rows append per batch,
-    downstream keeps the latest row per key)."""
+    """UPDATE-mode durable drain — unlike the memory sink, this
+    supports CHECKPOINT RECOVERY: a killed query restarted against the
+    same ``checkpoint_dir`` resumes from the recorded source offsets
+    AND the state store, processing only new data (the production
+    deployment shape for the stateful operator; update rows land per
+    batch, downstream keeps the latest row per key). See
+    continuous.run_durable for the recovery/idempotence semantics."""
+    from fforma_spark.streaming.continuous import run_durable
 
-    def sink(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.mode("append").parquet(out_dir)
-
-    q = (
-        stateful.writeStream.outputMode("update")
-        .foreachBatch(sink)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    run_durable(stateful, checkpoint_dir, out_dir, "update")

@@ -16,6 +16,9 @@ def test_default_shuffle_partitions_resolution():
     assert _default_shuffle_partitions("yarn", 16) == 16
     assert _default_shuffle_partitions("spark://host:7077", 32) == 32
     assert _default_shuffle_partitions("k8s://https://host", 12) == 12
+    # local[N,maxFailures] / local[*,F] retry forms must parse too
+    assert _default_shuffle_partitions("local[8,3]", 32) == 8
+    assert _default_shuffle_partitions("local[*,2]", 32) == 32
 
 
 def test_get_spark_does_not_force_master_under_submit():
