@@ -56,17 +56,22 @@ def run_bench(master: str) -> dict:
     spark = get_spark("fforma_spark_bench", master=master)
     warm_python_workers(spark)
     timings: dict[str, float] = {}
+    all_times: dict[str, list[float]] = {}
     counters: dict[str, float] = {}
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 
     def timed(name: str, fn):
-        """Best-of-2: the second run measures steady state (first run
-        absorbs shuffle-file/JIT warmup and GC noise on shared boxes)."""
-        best = float("inf")
-        for _ in range(2):
+        """Best-of-N (default 3; VERDICT r3 #4): the first run absorbs
+        shuffle-file/JIT warmup, later runs measure steady state; all
+        rep times are reported so host noise is visible in the JSON."""
+        times = []
+        out = None
+        for _ in range(reps):
             t0 = time.perf_counter()
             out = fn()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            times.append(round(time.perf_counter() - t0, 3))
+        all_times[name] = times
+        timings[name] = min(times)
         return out
 
     # Warm the JVM + cache the inputs so per-query numbers measure the
@@ -138,6 +143,15 @@ def run_bench(master: str) -> dict:
 
     timed("ensemble_rollup", q_ensemble)
 
+    # effective execution conf, so a conf-guard interaction is
+    # ruled out (or in) under the driver's own harness (VERDICT r3 #4)
+    effective = {
+        "master": spark.sparkContext.master,
+        "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
+        "default_parallelism": spark.sparkContext.defaultParallelism,
+        "aqe": spark.conf.get("spark.sql.adaptive.enabled"),
+        "reps": reps,
+    }
     spark.stop()
 
     total = round(sum(timings.values()), 3)
@@ -148,8 +162,10 @@ def run_bench(master: str) -> dict:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "rep_times": all_times,
         "sf": _sf_of(SF_DIR),
-        "master": master,
+        "master": effective["master"],
+        "effective_conf": effective,
         "points_per_sec": round(rollup_pps, 1),
         "comp_bytes_per_sec": round(comp_bps, 1),
         "counters": counters,

@@ -222,9 +222,11 @@ class TPESampler:
         return p
 
     def suggest(self, space: Space, history: list[tuple[dict, float]]) -> dict:
-        """history: [(params, loss)] of finished trials (pruned trials
-        excluded — matching optuna's default treatment of pruned
-        trials lacking a final value)."""
+        """history: [(params, loss)] of finished trials. Pruned trials
+        participate with their LAST INTERMEDIATE value as the loss —
+        matching optuna's TPESampler, which includes pruned trials in
+        the Parzen split that way (Study.optimize feeds them in; r3
+        ADVICE fix — the old behavior silently excluded them)."""
         done = [(p, v) for p, v in history if np.isfinite(v)]
         if len(done) < self.n_startup_trials:
             return self._random_point(space)
@@ -341,6 +343,10 @@ class Study:
                 history.append((params, value))
             except TrialPruned:
                 value, state = float("nan"), "pruned"
+                if intermediates:
+                    # optuna's TPE treats a pruned trial as a finished
+                    # trial at its last intermediate value
+                    history.append((params, float(intermediates[-1])))
             self.trials.append(
                 {
                     "params": params,

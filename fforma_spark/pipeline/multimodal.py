@@ -89,13 +89,20 @@ except Exception:  # noqa: BLE001
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """STUB — decode an image payload to an HxWxC uint8 array."""
+    """Decode an image payload to an HxW (grayscale) or HxWxC uint8
+    array via PIL when it is importable; raises NotImplementedError in
+    codec-less containers (this sandbox) — callers fall back to
+    :func:`fake_decode`, and everything downstream (resize, Arrow
+    batching, schema) is codec-agnostic."""
     if not _HAS_PIL:
         raise NotImplementedError(
             "image codec not available in this container; "
             "deterministic byte features are used instead (extract_features)"
         )
-    raise NotImplementedError("real decode wired only when PIL is present")
+    import io
+
+    with Image.open(io.BytesIO(payload)) as im:
+        return np.asarray(im.convert("L"), dtype=np.uint8)
 
 
 def decode_audio(payload: bytes) -> np.ndarray:
@@ -246,7 +253,7 @@ FEATURES_THUMBS_SCHEMA = FEATURES_SCHEMA + ", thumb array<float>"
 # thumb value is (b[2i,2j]+b[2i+1,2j]+b[2i,2j+1]+b[2i+1,2j+1])/4 over
 # the tiled byte grid — quarter-integers, exactly representable in
 # float32, hence hash-identical across engines at 6dp.
-FEATURES_THUMBS_SQL = """
+_FEATURES_CTE = """
 WITH p AS (
   SELECT CAST(doc_id AS BIGINT) AS doc_id,
          hex(encode(text)) AS hx,
@@ -302,11 +309,63 @@ thumb AS (
       ) / 4.0 AS DOUBLE)) AS thumb
   FROM b
 )
+"""
+
+FEATURES_THUMBS_SQL = _FEATURES_CTE + """
 SELECT s.doc_id, s.n_bytes, s.byte_mean, s.byte_std,
        coalesce(e.byte_entropy, 0.0) AS byte_entropy,
        s.printable_ratio, t.thumb
 FROM stats s LEFT JOIN ent e USING (doc_id) JOIN thumb t USING (doc_id)
 """
+
+# Scalar-digest twin: the external driver canonicalizes results via a
+# pandas sort_values over ALL columns, which cannot sort a list-dtype
+# column — so the REGISTERED query must emit scalars only. The thumb
+# values are exact quarter-integers (2×2 block means of uint8 bytes),
+# so an unweighted sum and a position-weighted checksum are both exact
+# multiples of 0.25 far below 2^53 — order-independent, bit-identical
+# across engines, and together a strong digest of the full 64-float
+# thumbnail (any single-position change of 2^-2..2^8 magnitude flips
+# thumb_ck). DuckDB lists are 1-based: thumb[k+1] for k in 0..63.
+FEATURES_DIGEST_SQL = _FEATURES_CTE + """
+SELECT s.doc_id, s.n_bytes, s.byte_mean, s.byte_std,
+       coalesce(e.byte_entropy, 0.0) AS byte_entropy,
+       s.printable_ratio,
+       list_sum(t.thumb) AS thumb_sum,
+       list_sum(list_transform(range(0, 64), k ->
+           t.thumb[k + 1] * (k + 1))) AS thumb_ck
+FROM stats s LEFT JOIN ent e USING (doc_id) JOIN thumb t USING (doc_id)
+"""
+
+
+def features_thumb_digest(
+    docs: DataFrame, out_h: int = 8, out_w: int = 8
+) -> DataFrame:
+    """:func:`features_with_thumbs` with the thumbnail reduced to two
+    exact scalar digests (driver-sortable shape): ``thumb_sum`` and the
+    position-weighted ``thumb_ck = Σ (k+1)·thumb[k]``. Catalyst-side
+    (``aggregate``/``zip_with`` over the Arrow-batched UDF output) —
+    the one-decode-pass operator is unchanged underneath."""
+    n = out_h * out_w
+    ft = features_with_thumbs(docs, out_h, out_w)
+    dthumb = F.transform(F.col("thumb"), lambda x: x.cast("double"))
+    weighted = F.zip_with(
+        dthumb,
+        F.sequence(F.lit(1), F.lit(n)).cast("array<double>"),
+        lambda x, k: x * k,
+    )
+    return ft.select(
+        "doc_id",
+        "n_bytes",
+        "byte_mean",
+        "byte_std",
+        "byte_entropy",
+        "printable_ratio",
+        F.aggregate(dthumb, F.lit(0.0), lambda a, x: a + x).alias("thumb_sum"),
+        F.aggregate(weighted, F.lit(0.0), lambda a, x: a + x).alias(
+            "thumb_ck"
+        ),
+    )
 
 
 def features_with_thumbs(

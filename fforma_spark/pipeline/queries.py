@@ -229,11 +229,16 @@ def multimodal_frame_index(spark, sf_dir):
     return M.frame_index(_docs(spark, sf_dir))
 
 
-@register("multimodal_features", M.FEATURES_THUMBS_SQL)
+@register("multimodal_features", M.FEATURES_DIGEST_SQL)
 def multimodal_features(spark, sf_dir):
     """Byte features + decode(stand-in)→REAL bilinear 8×8 thumbnail in
     one Arrow-batched mapInPandas pass (each payload read once). The
-    DuckDB twin recovers the byte stream with hex()+instr and exploits
-    the 16→8 bilinear = 2×2-block-mean identity, so even the thumbnail
-    floats are value-hash-checked by the driver."""
-    return M.features_with_thumbs(_docs(spark, sf_dir))
+    registered shape is scalar-only (the driver's pandas canonicalizer
+    cannot sort array columns — r3's red row): the thumbnail is reduced
+    to two EXACT digests (sum + position-weighted checksum of the
+    quarter-integer thumb values). The DuckDB twin recovers the byte
+    stream with hex()+instr, exploits the 16→8 bilinear =
+    2×2-block-mean identity, and computes the same digests — so the
+    full thumbnail content is still value-hash-checked, via a
+    driver-sortable shape."""
+    return M.features_thumb_digest(_docs(spark, sf_dir))

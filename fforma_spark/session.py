@@ -88,14 +88,27 @@ def get_spark(
     if shuffle_partitions is None and not spark.sparkContext.getConf().contains(
         "spark.sql.shuffle.partitions"
     ):
-        # No explicit setting anywhere — neither this call, nor a
-        # spark-submit --conf, nor the builder of a reused session
-        # (all three land in the context conf). Resolve the default
-        # against the ACTUAL master; never clobber an explicit value.
-        spark.conf.set(
-            "spark.sql.shuffle.partitions",
-            str(_default_shuffle_partitions(spark.sparkContext.master, cpus)),
+        # No explicit setting in the context conf (this call /
+        # spark-submit --conf / the builder that CREATED the session).
+        # A reused session can also carry an explicit value only in
+        # the RUNTIME conf (builder.config on getOrCreate of an
+        # existing session, or a user's spark.conf.set) — never
+        # clobber that either: only overwrite the stock Spark default
+        # or a value this function itself auto-set (marker conf).
+        current = spark.conf.get("spark.sql.shuffle.partitions", "200")
+        auto_set = (
+            spark.conf.get("spark.fforma.autoShufflePartitions", "") == "true"
         )
+        if current == "200" or auto_set:
+            spark.conf.set(
+                "spark.sql.shuffle.partitions",
+                str(
+                    _default_shuffle_partitions(
+                        spark.sparkContext.master, cpus
+                    )
+                ),
+            )
+            spark.conf.set("spark.fforma.autoShufflePartitions", "true")
     spark.sparkContext.setLogLevel("WARN")
     return spark
 

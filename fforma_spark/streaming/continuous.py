@@ -33,6 +33,23 @@ def streaming_events(
     return reader.parquet(input_dir)
 
 
+# Shared tier-stats vocabulary for the streaming rollup and its batch
+# twin: cnt/vmin/vmax/vsum plus vfirst/vlast (earliest/latest value in
+# the window, event_id tie-break for determinism) — the SAME partials
+# the batch ladder re-aggregates, so streaming T1 output feeds
+# operators.rollup.rollup_from_tier directly (see tier_from_streaming).
+def _tier_aggs():
+    # built lazily: Column construction needs an active SparkContext
+    return (
+        F.count("*").alias("cnt"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+        F.sum("value").alias("vsum"),
+        F.min_by("value", F.struct("ts", "event_id")).alias("vfirst"),
+        F.max_by("value", F.struct("ts", "event_id")).alias("vlast"),
+    )
+
+
 def streaming_tier_rollup(
     events: DataFrame,
     window_duration: str = "1 minute",
@@ -50,12 +67,7 @@ def streaming_tier_rollup(
             F.col("user_id").cast("string").alias("doc_id"),
             F.window("ts", window_duration).alias("w"),
         )
-        .agg(
-            F.count("*").alias("cnt"),
-            F.min("value").alias("vmin"),
-            F.max("value").alias("vmax"),
-            F.sum("value").alias("vsum"),
-        )
+        .agg(*_tier_aggs())
         .select(
             "doc_id",
             F.col("w.start").alias("bucket_start"),
@@ -63,6 +75,8 @@ def streaming_tier_rollup(
             "vmin",
             "vmax",
             "vsum",
+            "vfirst",
+            "vlast",
             (F.col("vsum") / F.col("cnt")).alias("vmean"),
         )
     )
@@ -78,12 +92,7 @@ def batch_tier_rollup_events(
             F.col("user_id").cast("string").alias("doc_id"),
             F.window("ts", window_duration).alias("w"),
         )
-        .agg(
-            F.count("*").alias("cnt"),
-            F.min("value").alias("vmin"),
-            F.max("value").alias("vmax"),
-            F.sum("value").alias("vsum"),
-        )
+        .agg(*_tier_aggs())
         .select(
             "doc_id",
             F.col("w.start").alias("bucket_start"),
@@ -91,8 +100,32 @@ def batch_tier_rollup_events(
             "vmin",
             "vmax",
             "vsum",
+            "vfirst",
+            "vlast",
             (F.col("vsum") / F.col("cnt")).alias("vmean"),
         )
+    )
+
+
+def tier_from_streaming(t1: DataFrame, window_seconds: int = 60) -> DataFrame:
+    """Adapt streaming T1 output (timestamp windows) to the batch tier
+    shape (integer buckets) so operators.rollup.rollup_from_tier can
+    cascade T2/T3 from it WITHOUT rescanning raw events — the
+    streaming→batch boundary of the continuous-aggregate ladder.
+    bucket = epoch_seconds(bucket_start) / window_seconds (exact:
+    window starts are aligned multiples of the window)."""
+    return t1.select(
+        "doc_id",
+        (F.unix_timestamp("bucket_start") / F.lit(window_seconds))
+        .cast("long")
+        .alias("bucket"),
+        "cnt",
+        "vmin",
+        "vmax",
+        "vsum",
+        "vfirst",
+        "vlast",
+        "vmean",
     )
 
 

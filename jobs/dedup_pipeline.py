@@ -115,6 +115,14 @@ def main() -> None:
             ],
         )
     if "simhash_hamming" in ops:
+        # candidate volume first — the quantity the 8-band combo-key
+        # layout exists to shrink vs the old 4×16 chunk joins (r3
+        # scale-killer); then the verified pairs
+        run(
+            "simhash64_candidates",
+            lambda: D.sh64_band_candidates(D.simhash64(docs)),
+            [F.count("*").alias("candidate_pairs")],
+        )
         run(
             "simhash64_hamming3",
             lambda: D.simhash_hamming_neardup(docs, max_dist=3),

@@ -142,6 +142,38 @@ def test_decode_image_is_stubbed():
             M.decode_image(b"\x89PNG")
 
 
+@pytest.mark.skipif(not M._HAS_PIL, reason="PIL not installed here")
+def test_decode_image_via_pil():
+    """Gated like the Iceberg round-trip: runs wherever PIL exists
+    (VERDICT r3 #5 — the probe now has a wired path behind it). A
+    2×2 grayscale PNG decodes back to its exact pixel bytes."""
+    import io
+
+    from PIL import Image
+
+    px = np.array([[0, 128], [255, 7]], dtype=np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(px, mode="L").save(buf, format="PNG")
+    out = M.decode_image(buf.getvalue())
+    assert out.dtype == np.uint8
+    assert np.array_equal(out, px)
+
+
+def test_features_thumb_digest_matches_array_path(spark):
+    """thumb_sum / thumb_ck are exact reductions of the thumb array
+    (quarter-integers — no rounding anywhere)."""
+    docs = load_table(spark, SF, "documents").limit(12)
+    arr = {
+        int(r["doc_id"]): np.array(r["thumb"], dtype=np.float64)
+        for r in M.features_with_thumbs(docs).collect()
+    }
+    dig = {int(r["doc_id"]): r for r in M.features_thumb_digest(docs).collect()}
+    assert set(arr) == set(dig)
+    for did, th in arr.items():
+        assert dig[did]["thumb_sum"] == th.sum()
+        assert dig[did]["thumb_ck"] == (th * np.arange(1, 65)).sum()
+
+
 def test_frame_index_covers_payload(spark):
     docs = load_table(spark, SF, "documents").limit(20)
     idx = M.frame_index(docs).collect()

@@ -275,3 +275,65 @@ def test_stateful_ses_drops_and_flags_late_rows():
     )[0]
     assert int(out3["n"].iloc[0]) == 4
     assert int(out3["n_late"].iloc[0]) == 2
+
+
+def test_streaming_t1_feeds_batch_t2_cascade(spark, tmp_path):
+    """Closes the streaming→batch cascade loop (VERDICT r3 #6): the
+    durable append-mode streaming T1 parquet, adapted via
+    tier_from_streaming, re-aggregates through the BATCH
+    rollup_from_tier into a T2 identical to the all-batch T2 over the
+    same events — the partial→final algebra holds across the
+    streaming/batch boundary (vfirst/vlast included)."""
+    from fforma_spark.operators.rollup import rollup_from_tier
+    from fforma_spark.streaming.continuous import (
+        run_append_durable,
+        tier_from_streaming,
+    )
+
+    src = str(tmp_path / "events_cascade")
+    os.makedirs(src)
+    shutil.copy(os.path.join(SF, "events.parquet"), src)
+
+    rollup = streaming_tier_rollup(
+        streaming_events(spark, src), "1 minute", watermark="0 seconds"
+    )
+    out = str(tmp_path / "t1_stream_out")
+    run_append_durable(rollup, str(tmp_path / "ckpt_cascade"), out)
+
+    # append mode finalizes a window only once the watermark passes its
+    # END — the minute containing the global max ts stays in state (no
+    # later data advances the watermark), so cascade the FINALIZED
+    # prefix: drop that last minute bucket from both paths.
+    import pyspark.sql.functions as F
+
+    ev = spark.read.parquet(src)
+    last_minute = (
+        ev.agg(
+            (F.unix_timestamp(F.max("ts")) / 60).cast("long").alias("b")
+        ).first()["b"]
+    )
+
+    t1_stream = tier_from_streaming(
+        spark.read.parquet(out).drop("batch_id"), 60
+    ).filter(F.col("bucket") < last_minute)
+    t2_stream = rollup_from_tier(t1_stream, 5)
+
+    t1_batch = tier_from_streaming(
+        batch_tier_rollup_events(ev, "1 minute"), 60
+    ).filter(F.col("bucket") < last_minute)
+    t2_batch = rollup_from_tier(t1_batch, 5)
+
+    def canon(df):
+        return {
+            (r["doc_id"], r["bucket"]): (
+                r["cnt"], r["vmin"], r["vmax"], round(r["vsum"], 9),
+                r["vfirst"], r["vlast"], round(r["vmean"], 9),
+            )
+            for r in df.collect()
+        }
+
+    got, want = canon(t2_stream), canon(t2_batch)
+    assert len(want) > 0
+    # T2 must be coarser than T1 (windows actually merged)
+    assert len(want) < t1_batch.count()
+    assert got == want
