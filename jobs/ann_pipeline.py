@@ -32,6 +32,13 @@ def main() -> None:
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--cells", type=int, default=64)
     ap.add_argument("--nprobe", type=int, default=4)
+    ap.add_argument(
+        "--reps",
+        type=int,
+        default=1,
+        help="time each op N times, report best (steady state) + all "
+        "reps — separates per-op work from first-run warmup floors",
+    )
     args = ap.parse_args()
 
     from fforma_spark.session import get_spark
@@ -74,11 +81,18 @@ def main() -> None:
     }
 
     def run(name, build):
-        t0 = time.time()
-        pairs = {
-            (r["query_id"], r["cand_id"]) for r in build().collect()
+        times, pairs = [], set()
+        for _ in range(max(args.reps, 1)):
+            t0 = time.time()
+            pairs = {
+                (r["query_id"], r["cand_id"]) for r in build().collect()
+            }
+            times.append(round(time.time() - t0, 3))
+        out["ops"][name] = {
+            "sec": min(times),
+            "rep_times": times,
+            "rows": len(pairs),
         }
-        out["ops"][name] = {"sec": round(time.time() - t0, 3), "rows": len(pairs)}
         return pairs
 
     truth = run("knn_bruteforce", lambda: S.knn_bruteforce(emb, nq, k))

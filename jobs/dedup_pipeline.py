@@ -35,6 +35,13 @@ def main() -> None:
         "--ops",
         default="exact,minhash,minhash_r2,simhash_hamming,ngram",
     )
+    ap.add_argument(
+        "--reps",
+        type=int,
+        default=1,
+        help="time each op N times, report best (steady state) + all "
+        "reps — separates per-op work from first-run warmup floors",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession, functions as F
@@ -78,11 +85,15 @@ def main() -> None:
     thresh = 0.5
 
     def run(name, build, counters):
-        t0 = time.time()
-        df = build()
-        agg = df.agg(*counters).collect()[0].asDict()
+        times, agg = [], None
+        for _ in range(max(args.reps, 1)):
+            t0 = time.time()
+            df = build()
+            agg = df.agg(*counters).collect()[0].asDict()
+            times.append(round(time.time() - t0, 3))
         out["ops"][name] = {
-            "sec": round(time.time() - t0, 3),
+            "sec": min(times),
+            "rep_times": times,
             **{k: (int(v) if v is not None else 0) for k, v in agg.items()},
         }
 

@@ -1,0 +1,206 @@
+"""Round-4 two-cluster-size scaling bench (north_rule evidence).
+
+Same protocol as round 3 (identical stored parquet inputs, fresh JVM
+per leg via spark-submit --py-files — the production invocation,
+local[8] then local[32], 20 s cooldown) with the round-3 VERDICT #7
+fixes:
+
+* per-op timings are best-of-2 WITHIN the shared leg JVM (--reps 2) so
+  each op's number measures steady-state parallel work, not first-run
+  warmup (Python-worker fork, shuffle-file creation, JIT);
+* the report decomposes each leg into work (sum of best op secs) vs
+  floor (leg wall − work: JVM startup, input count, scan warmup) and
+  grades per-op scaling efficiency alongside the phase number — so the
+  scaling table grades work, not overhead;
+* dedup50k additionally reports sh64 candidate_pairs (the r3
+  scale-killer metric: 4×16-chunk joins → C(8,5) 40-bit combo joins).
+
+Phases: tiers (1M-doc/205M-point sequences: compress + 45 features),
+dedup1m (exact + minhash r2 + ngram index), dedup50k (minhash r1 +
+simhash64 Hamming), ann1m (brute/LSH/IVF + 1-Lloyd, recall@k).
+
+Usage: python scripts/bench_scaling_r4.py [--skip tiers,...] [--out F]
+NOTE: run nothing else on the box while timed legs run — CPU
+contention corrupts the efficiency evidence.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ZIP = "/tmp/fforma_spark_bench.zip"
+
+
+def _submit_bin() -> str:
+    import pyspark
+
+    return os.path.join(os.path.dirname(pyspark.__file__), "bin", "spark-submit")
+
+
+def _run_leg(job: str, extra: list[str], cpus: int) -> dict:
+    env = dict(os.environ)
+    env["SPARK_GRAFT_CPUS"] = str(cpus)
+    cmd = [
+        _submit_bin(),
+        "--master",
+        f"local[{cpus}]",
+        # single-JVM local mode: the driver heap IS the executor heap —
+        # mirror fforma_spark.session.get_spark's tuned local-mode JVM
+        # (fixed pre-touched heap, ParallelGC, no shuffle-block mmap);
+        # without it the 32-thread leg loses ~2x to mmap_lock
+        # contention, corrupting the scaling measurement.
+        "--driver-memory",
+        os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+        "--conf",
+        "spark.driver.extraJavaOptions="
+        f"-Xms{os.environ.get('SPARK_GRAFT_DRIVER_MEM', '16g')} "
+        "-XX:+AlwaysPreTouch -XX:+UseParallelGC",
+        "--conf",
+        "spark.storage.memoryMapThreshold=2g",
+        "--py-files",
+        ZIP,
+        os.path.join(REPO, job),
+        *extra,
+    ]
+    t0 = time.time()
+    proc = subprocess.run(
+        cmd, capture_output=True, text=True, env=env, cwd=REPO, check=False
+    )
+    wall = round(time.time() - t0, 3)
+    line = None
+    for ln in reversed(proc.stdout.strip().splitlines()):
+        ln = ln.strip()
+        if ln.startswith("{"):
+            line = ln
+            break
+    if proc.returncode != 0 or line is None:
+        sys.stderr.write(proc.stderr[-4000:])
+        raise RuntimeError(f"leg failed: {job} local[{cpus}] rc={proc.returncode}")
+    parsed = json.loads(line)
+    parsed["_leg_wall_sec"] = wall
+    return parsed
+
+
+def _store(job: str, extra: list[str]) -> None:
+    out = _run_leg(job, extra, cpus=32)
+    print(json.dumps(out), flush=True)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=os.path.join(REPO, "BENCH_SCALING_r4.json"))
+    ap.add_argument("--skip", default="")
+    ap.add_argument("--docs1m", type=int, default=1_000_000)
+    ap.add_argument("--docs50k", type=int, default=50_000)
+    ap.add_argument("--vecs1m", type=int, default=1_000_000)
+    ap.add_argument("--seq1m", type=int, default=1_000_000)
+    args = ap.parse_args()
+    skip = set(args.skip.split(",")) if args.skip else set()
+
+    subprocess.run(["rm", "-f", ZIP], check=False)
+    subprocess.run(["zip", "-qr", ZIP, "fforma_spark"], cwd=REPO, check=True)
+
+    stores = {
+        "docs1m": f"/tmp/bench_docs_{args.docs1m}",
+        "docs50k": f"/tmp/bench_docs_{args.docs50k}",
+        "emb1m": f"/tmp/bench_emb_{args.vecs1m}",
+        "seq1m": f"/tmp/bench_seq_{args.seq1m}",
+    }
+    if not os.path.exists(stores["docs1m"]) and "dedup1m" not in skip:
+        _store("jobs/dedup_pipeline.py",
+               ["--synth", str(args.docs1m), "--store", stores["docs1m"]])
+    if not os.path.exists(stores["docs50k"]) and "dedup50k" not in skip:
+        _store("jobs/dedup_pipeline.py",
+               ["--synth", str(args.docs50k), "--store", stores["docs50k"]])
+    if not os.path.exists(stores["emb1m"]) and "ann1m" not in skip:
+        _store("jobs/ann_pipeline.py",
+               ["--synth", str(args.vecs1m), "--store", stores["emb1m"]])
+    if not os.path.exists(stores["seq1m"]) and "tiers" not in skip:
+        _store("jobs/build_tiers.py",
+               ["--synth", str(args.seq1m), "--store-input", stores["seq1m"]])
+
+    phases = {
+        "tiers": (
+            "jobs/build_tiers.py",
+            ["--input", stores["seq1m"], "--compress", "--features",
+             "--output", "/tmp/bench_tiers_r4_{cpus}"],
+        ),
+        "dedup1m": (
+            "jobs/dedup_pipeline.py",
+            ["--input", stores["docs1m"], "--ops", "exact,minhash_r2,ngram",
+             "--reps", "2"],
+        ),
+        "dedup50k": (
+            "jobs/dedup_pipeline.py",
+            ["--input", stores["docs50k"], "--ops", "minhash,simhash_hamming",
+             "--reps", "2"],
+        ),
+        "ann1m": (
+            "jobs/ann_pipeline.py",
+            ["--input", stores["emb1m"], "--reps", "2"],
+        ),
+    }
+
+    result: dict = {
+        "protocol": "identical stored input per phase, fresh JVM per leg "
+        "(spark-submit --py-files), local[8] then local[32], 20 s cooldown "
+        "between legs; per-op best-of-2 within the leg JVM; floor = leg "
+        "wall - summed op work (JVM startup, input count, scan warmup)",
+        "phases": {},
+    }
+    for name, (job, extra) in phases.items():
+        if name in skip:
+            continue
+        detail = {}
+        for cpus in (8, 32):
+            leg_extra = [a.format(cpus=cpus) for a in extra]
+            # tier output dirs are per-level so resume never crosses legs
+            if name == "tiers":
+                out_dir = f"/tmp/bench_tiers_r4_{cpus}"
+                subprocess.run(["rm", "-rf", out_dir], check=False)
+            detail[str(cpus)] = _run_leg(job, leg_extra, cpus)
+            print(f"{name} local[{cpus}]: {detail[str(cpus)].get('value')}s "
+                  f"(leg wall {detail[str(cpus)]['_leg_wall_sec']}s)",
+                  flush=True)
+            time.sleep(20)
+        t8, t32 = detail["8"]["value"], detail["32"]["value"]
+        phase: dict = {
+            "local8_sec": t8,
+            "local32_sec": t32,
+            "speedup_8_to_32": round(t8 / t32, 3) if t32 else None,
+            "scaling_efficiency": round(t8 / t32 / 4.0, 3) if t32 else None,
+            "floor_sec": {
+                c: round(detail[c]["_leg_wall_sec"] - detail[c]["value"], 3)
+                for c in ("8", "32")
+            },
+            "detail": detail,
+        }
+        ops8 = detail["8"].get("ops")
+        ops32 = detail["32"].get("ops")
+        if ops8 and ops32:
+            per_op = {}
+            for op in ops8:
+                a, b = ops8[op]["sec"], ops32[op].get("sec")
+                if b:
+                    per_op[op] = {
+                        "local8_sec": a,
+                        "local32_sec": b,
+                        "speedup": round(a / b, 3),
+                        "efficiency": round(a / b / 4.0, 3),
+                    }
+            phase["per_op"] = per_op
+        result["phases"][name] = phase
+        with open(args.out, "w") as f:
+            json.dump(result, f, indent=1)
+    print(json.dumps({k: {kk: vv for kk, vv in v.items() if kk != "detail"}
+                      for k, v in result["phases"].items()}, indent=1))
+
+
+if __name__ == "__main__":
+    main()
