@@ -64,14 +64,11 @@ def run_bench(master: str) -> dict:
         """Best-of-N (default 3; VERDICT r3 #4): the first run absorbs
         shuffle-file/JIT warmup, later runs measure steady state; all
         rep times are reported so host noise is visible in the JSON."""
-        times = []
-        out = None
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            out = fn()
-            times.append(round(time.perf_counter() - t0, 3))
+        from fforma_spark.util import best_of
+
+        best, times, out = best_of(reps, fn)
         all_times[name] = times
-        timings[name] = min(times)
+        timings[name] = best
         return out
 
     # Warm the JVM + cache the inputs so per-query numbers measure the

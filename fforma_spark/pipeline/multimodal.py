@@ -89,9 +89,10 @@ except Exception:  # noqa: BLE001
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Decode an image payload to an HxW (grayscale) or HxWxC uint8
-    array via PIL when it is importable; raises NotImplementedError in
-    codec-less containers (this sandbox) — callers fall back to
+    """Decode an image payload to an HxW grayscale uint8 array (PIL
+    ``convert("L")`` — the pipeline's thumbnail/feature stages are
+    single-channel) when PIL is importable; raises NotImplementedError
+    in codec-less containers (this sandbox) — callers fall back to
     :func:`fake_decode`, and everything downstream (resize, Arrow
     batching, schema) is codec-agnostic."""
     if not _HAS_PIL:

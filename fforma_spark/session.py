@@ -85,7 +85,12 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
-    if shuffle_partitions is None and not spark.sparkContext.getConf().contains(
+    if shuffle_partitions is not None:
+        # explicit request on a possibly-reused session: the builder
+        # config above landed in the runtime conf; clear the auto
+        # marker so later default calls never clobber this value
+        spark.conf.set("spark.fforma.autoShufflePartitions", "")
+    elif not spark.sparkContext.getConf().contains(
         "spark.sql.shuffle.partitions"
     ):
         # No explicit setting in the context conf (this call /
@@ -94,21 +99,19 @@ def get_spark(
         # the RUNTIME conf (builder.config on getOrCreate of an
         # existing session, or a user's spark.conf.set) — never
         # clobber that either: only overwrite the stock Spark default
-        # or a value this function itself auto-set (marker conf).
+        # or the exact value this function itself last auto-set (the
+        # marker stores that value, so any user change — even via
+        # spark.conf.set — differs and is preserved; the one
+        # undetectable case is a user explicitly asking for the stock
+        # "200", which is indistinguishable from never-configured).
         current = spark.conf.get("spark.sql.shuffle.partitions", "200")
-        auto_set = (
-            spark.conf.get("spark.fforma.autoShufflePartitions", "") == "true"
-        )
-        if current == "200" or auto_set:
-            spark.conf.set(
-                "spark.sql.shuffle.partitions",
-                str(
-                    _default_shuffle_partitions(
-                        spark.sparkContext.master, cpus
-                    )
-                ),
+        last_auto = spark.conf.get("spark.fforma.autoShufflePartitions", "")
+        if current == "200" or current == last_auto:
+            val = str(
+                _default_shuffle_partitions(spark.sparkContext.master, cpus)
             )
-            spark.conf.set("spark.fforma.autoShufflePartitions", "true")
+            spark.conf.set("spark.sql.shuffle.partitions", val)
+            spark.conf.set("spark.fforma.autoShufflePartitions", val)
     spark.sparkContext.setLogLevel("WARN")
     return spark
 

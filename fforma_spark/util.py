@@ -11,7 +11,23 @@ value-hash comparison needs.
 
 from __future__ import annotations
 
+import time
+
 from pyspark.sql import Column, functions as F
+
+
+def best_of(reps: int, fn):
+    """Run ``fn`` max(reps, 1) times; return (best_sec, rep_times,
+    last_result). The ONE timing loop shared by bench.py and the
+    spark-submit jobs — best-of-N separates steady-state parallel work
+    from first-run warmup (Python-worker fork, shuffle files, JIT)."""
+    times: list[float] = []
+    out = None
+    for _ in range(max(reps, 1)):
+        t0 = time.perf_counter()
+        out = fn()
+        times.append(round(time.perf_counter() - t0, 3))
+    return min(times), times, out
 
 
 def stable_round6(col: Column | str) -> Column:

@@ -81,15 +81,16 @@ def main() -> None:
     }
 
     def run(name, build):
-        times, pairs = [], set()
-        for _ in range(max(args.reps, 1)):
-            t0 = time.time()
-            pairs = {
+        from fforma_spark.util import best_of
+
+        best, times, pairs = best_of(
+            args.reps,
+            lambda: {
                 (r["query_id"], r["cand_id"]) for r in build().collect()
-            }
-            times.append(round(time.time() - t0, 3))
+            },
+        )
         out["ops"][name] = {
-            "sec": min(times),
+            "sec": best,
             "rep_times": times,
             "rows": len(pairs),
         }

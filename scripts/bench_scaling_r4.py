@@ -151,7 +151,8 @@ def main() -> None:
         "protocol": "identical stored input per phase, fresh JVM per leg "
         "(spark-submit --py-files), local[8] then local[32], 20 s cooldown "
         "between legs; per-op best-of-2 within the leg JVM; floor = leg "
-        "wall - summed op work (JVM startup, input count, scan warmup)",
+        "wall - ALL timed rep work (JVM startup, input count, py-worker "
+        "warmup only)",
         "phases": {},
     }
     for name, (job, extra) in phases.items():
@@ -170,15 +171,26 @@ def main() -> None:
                   flush=True)
             time.sleep(20)
         t8, t32 = detail["8"]["value"], detail["32"]["value"]
+
+        def _floor(leg: dict) -> float:
+            # fixed overhead = leg wall − ALL timed op work (every rep,
+            # not just the best — a first rep contains steady-state
+            # work too, so subtracting only the best would misfile a
+            # whole rep of parallel work as "floor")
+            ops = leg.get("ops") or {}
+            work = sum(
+                sum(o.get("rep_times", [o.get("sec", 0.0)]))
+                for o in ops.values()
+            ) or leg["value"]
+            return round(leg["_leg_wall_sec"] - work, 3)
+
         phase: dict = {
             "local8_sec": t8,
             "local32_sec": t32,
             "speedup_8_to_32": round(t8 / t32, 3) if t32 else None,
             "scaling_efficiency": round(t8 / t32 / 4.0, 3) if t32 else None,
-            "floor_sec": {
-                c: round(detail[c]["_leg_wall_sec"] - detail[c]["value"], 3)
-                for c in ("8", "32")
-            },
+            # JVM startup + input count + py-worker warmup only
+            "floor_sec": {c: _floor(detail[c]) for c in ("8", "32")},
             "detail": detail,
         }
         ops8 = detail["8"].get("ops")

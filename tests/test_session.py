@@ -60,3 +60,40 @@ print("MASTER=" + captured.get("master", "ABSENT"))
             check=True,
         )
         assert want in out.stdout, (mode, out.stdout, out.stderr)
+
+
+def test_shuffle_guard_never_clobbers_user_runtime_value(spark):
+    """r4 ADVICE fix: the auto-default marker stores the value it set,
+    so a user's later explicit runtime value (spark.conf.set or
+    get_spark(shuffle_partitions=...)) survives subsequent
+    get_spark(None) calls; only the stock default or our own last
+    auto-set value is overwritten."""
+    from fforma_spark.session import get_spark
+
+    key = "spark.sql.shuffle.partitions"
+    marker = "spark.fforma.autoShufflePartitions"
+    saved_val = spark.conf.get(key)
+    saved_marker = spark.conf.get(marker, "")
+    try:
+        # user sets an explicit value directly on the runtime conf
+        spark.conf.set(key, "13")
+        spark.conf.set(marker, "")  # no prior auto-set
+        get_spark("fforma_spark_tests")
+        assert spark.conf.get(key) == "13"
+
+        # an explicit get_spark(shuffle_partitions=...) also survives
+        get_spark("fforma_spark_tests", shuffle_partitions=14)
+        assert spark.conf.get(key) == "14"
+        get_spark("fforma_spark_tests")
+        assert spark.conf.get(key) == "14"
+
+        # this session was CREATED with an explicit shuffle_partitions
+        # (context conf), so the auto-resolve branch must never fire —
+        # even when the marker claims the current value was auto-set
+        spark.conf.set(key, "17")
+        spark.conf.set(marker, "17")
+        get_spark("fforma_spark_tests")
+        assert spark.conf.get(key) == "17"
+    finally:
+        spark.conf.set(key, saved_val)
+        spark.conf.set(marker, saved_marker)
