@@ -247,31 +247,72 @@ def lloyd_refine(e: DataFrame, cents: DataFrame, exact: bool = True) -> DataFram
     divides in double — Spark and the DuckDB oracle produce
     bit-identical centroids regardless of aggregation order.
     ``exact=False`` (the production default in jobs/ann_pipeline.py):
-    plain double sums — same plan shape (map-side partial agg; the
-    shuffle is already only n_partitions×C×D rows), doubles instead of
-    decimals in the N×D-row hash aggregate. Centroids differ from the
-    exact path only within its own DECIMAL(27,10) quantization
-    (pytest: atol 1e-9, identical top-k). Measured on the 1M×64 corpus
-    the two are within VM noise (98.9 vs 103.7 s at 32 cores): the
-    posexplode dominates, so cross-engine bit-identity is essentially
-    free here — the double path exists because decimal aggregation
-    buffers cost memory bandwidth as D grows."""
+    vectorized per-partition partial sums — a mapInPandas stage folds
+    each Arrow batch's members into ≤C rows of (cell_id, Σvec, count)
+    per PARTITION with one numpy ``sum(axis=0)`` per cell, so the
+    shuffle and the final agg see n_partitions×C rows instead of the
+    oracle path's N×D posexplode rows (the measured ann1m bottleneck —
+    64M exploded rows at 1M×64). Centroids differ from the exact path
+    only within double-sum reassociation (pytest: atol 1e-9, identical
+    top-k). The decimal posexplode path remains the oracle: DuckDB and
+    Spark produce bit-identical centroids there regardless of
+    aggregation order."""
     assign = _assign_cells(e, cents)
-    pos = assign.select(
-        "cell_id", F.posexplode("embedding").alias("dim", "x")
-    )
     if exact:
+        pos = assign.select(
+            "cell_id", F.posexplode("embedding").alias("dim", "x")
+        )
         # float → double first: DuckDB's direct FLOAT→DECIMAL cast
         # goes through the float's short decimal repr; the
         # double-mediated cast is identical on both engines
         sum_expr = F.sum(
             F.col("x").cast("double").cast("decimal(27,10)")
         ).cast("double")
+        means = pos.groupBy("cell_id", "dim").agg(
+            (sum_expr / F.count("*")).alias("m")
+        )
     else:
-        sum_expr = F.sum(F.col("x").cast("double"))
-    means = pos.groupBy("cell_id", "dim").agg(
-        (sum_expr / F.count("*")).alias("m")
-    )
+        import numpy as np
+        import pandas as pd
+
+        def partial_sums(it):
+            sums: dict[int, np.ndarray] = {}
+            cnts: dict[int, int] = {}
+            for pdf in it:
+                for cid, grp in pdf.groupby("cell_id"):
+                    mat = np.stack(
+                        [np.asarray(v, dtype=np.float64) for v in grp["embedding"]]
+                    )
+                    s = mat.sum(axis=0)
+                    c = int(cid)
+                    if c in sums:
+                        sums[c] += s
+                        cnts[c] += len(grp)
+                    else:
+                        sums[c] = s
+                        cnts[c] = len(grp)
+            if sums:
+                yield pd.DataFrame(
+                    {
+                        "cell_id": list(sums),
+                        "psum": [sums[c] for c in sums],
+                        "pcnt": [cnts[c] for c in sums],
+                    }
+                )
+
+        partials = assign.select("cell_id", "embedding").mapInPandas(
+            partial_sums, "cell_id long, psum array<double>, pcnt long"
+        )
+        # final merge is tiny (≤ n_partitions×C rows before explode)
+        means = (
+            partials.select(
+                "cell_id",
+                "pcnt",
+                F.posexplode("psum").alias("dim", "x"),
+            )
+            .groupBy("cell_id", "dim")
+            .agg((F.sum("x") / F.sum("pcnt")).alias("m"))
+        )
     new = means.groupBy("cell_id").agg(
         F.transform(
             F.sort_array(F.collect_list(F.struct("dim", "m"))),

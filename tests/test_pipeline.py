@@ -337,12 +337,12 @@ def test_ivf_lloyd_recall_not_worse_than_seed(spark):
 
 
 def test_ivf_lloyd_fast_path_matches_exact_to_quantization(spark):
-    """The production double-sum Lloyd (exact=False) must agree with
-    the decimal-exact oracle path to within 10× the oracle's own
-    DECIMAL(27,10) quantization grain (atol 1e-9; measured max diff
-    ~1e-11 on this corpus), and produce the SAME top-k result set —
-    throughput is the only intended difference (same plan shape,
-    cheaper hash aggregate)."""
+    """The production Lloyd (exact=False: vectorized per-partition
+    numpy partial sums over Arrow batches, n_partitions×C shuffle rows)
+    must agree with the decimal-exact posexplode oracle path to within
+    10× the oracle's own DECIMAL(27,10) quantization grain (atol 1e-9;
+    measured max diff ~1e-11 on this corpus), and produce the SAME
+    top-k result set — throughput is the only intended difference."""
     import numpy as np
 
     emb = load_table(spark, SF, "embeddings")
