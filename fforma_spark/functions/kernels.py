@@ -17,8 +17,20 @@ is what the reference uses — fforma/base/_models.py:569-584).
 from __future__ import annotations
 
 import math
+from functools import lru_cache
 
 import numpy as np
+
+
+def _is_const(x: np.ndarray) -> bool:
+    """Cheap constant-series guard, equivalent to ``np.var(x) == 0``
+    for every non-pathological input (the two differ only when all
+    deviations from the mean are nonzero yet below ~1e-162, where the
+    squared terms underflow to exactly 0 — no real token series gets
+    there). One comparison pass instead of numpy's two-pass variance;
+    the guards it replaces are on the per-series hot path (~20 calls
+    per feature_vector)."""
+    return len(x) == 0 or bool((x == x[0]).all())
 
 try:  # pragma: no cover
     from scipy.optimize import minimize as _scipy_minimize
@@ -39,11 +51,22 @@ def detrend_coeffs(x: np.ndarray) -> tuple[float, float]:
     covar_pop/var_pop expression matches it exactly.
     """
     n = len(x)
-    t = np.arange(n, dtype=np.float64)
-    tm, xm = t.mean(), x.mean()
-    denom = ((t - tm) ** 2).sum()
-    slope = float(((t - tm) * (x - xm)).sum() / denom) if denom else 0.0
+    tm, tc, denom = _time_basis(n)
+    xm = x.mean()
+    slope = float((tc * (x - xm)).sum() / denom) if denom else 0.0
     return slope, float(xm - slope * tm)
+
+
+@lru_cache(maxsize=4096)
+def _time_basis(n: int) -> tuple[float, np.ndarray, float]:
+    """(mean, centered 0..n-1, Σcentered²) — data-independent detrend
+    ingredients, memoized per length (read-only array)."""
+    t = np.arange(n, dtype=np.float64)
+    tm = t.mean()
+    tc = t - tm
+    denom = (tc**2).sum()
+    tc.setflags(write=False)
+    return float(tm), tc, float(denom)
 
 
 def acf(x: np.ndarray, k: int) -> float:
@@ -66,17 +89,41 @@ def acf(x: np.ndarray, k: int) -> float:
     return s1 / s2
 
 
+def _acf_cumsum_lags(x: np.ndarray, kmax: int) -> list[float]:
+    """:func:`acf` at lags 1..kmax with the mean/centering/denominator
+    computed ONCE — each lag's numerator runs the same cumsum in the
+    same order as the scalar function, so every element is bit-for-bit
+    identical to ``acf(x, k)``; this exists purely to drop the
+    per-lag recomputation of mean, deviations, and s2."""
+    x = np.asarray(x, dtype=np.float64)
+    n = len(x)
+    m = x.mean()
+    d = x - m
+    sq = d * d
+    s2 = float(np.cumsum(sq)[-1]) if n else 0.0
+    out: list[float] = []
+    for k in range(1, kmax + 1):
+        if s2 == 0.0:
+            out.append(float("nan"))
+        elif k >= n:
+            out.append(0.0)
+        else:
+            out.append(float(np.cumsum(d[k:] * d[:-k])[-1]) / s2)
+    return out
+
+
 def seasonality_test(x: np.ndarray, ppy: int) -> bool:
     """90% significance test of the lag-ppy autocorrelation
     (fforma/base/_models.py:118-134)."""
-    s = acf(x, 1)
+    r = _acf_cumsum_lags(x, ppy)
+    s = r[0]
     for i in range(2, ppy):
-        s += acf(x, i) ** 2
+        s += r[i - 1] ** 2
     if (1 + 2 * s) > 0:
         limit = 1.645 * math.sqrt((1 + 2 * s) / len(x))
     else:
         limit = 0.0
-    return abs(acf(x, ppy)) > limit
+    return abs(r[ppy - 1]) > limit
 
 
 def centered_ma(x: np.ndarray, window: int) -> np.ndarray:
@@ -501,7 +548,7 @@ def hurst_exponent(x: np.ndarray) -> float:
     """Rescaled-range Hurst estimate over power-of-two block sizes."""
     x = np.asarray(x, dtype=np.float64)
     n = len(x)
-    if n < 20 or np.var(x) == 0:
+    if n < 20 or _is_const(x):
         return 0.5
     sizes = []
     size = 10
@@ -595,10 +642,13 @@ def spike(x: np.ndarray, ppy: int, rem: np.ndarray | None = None) -> float:
     return float(np.var(varloo, ddof=1))
 
 
+@lru_cache(maxsize=4096)
 def _ortho_poly2(n: int) -> np.ndarray:
     """R poly(1:n, 2)-style orthonormal basis (n, 2): QR of the
     centered Vandermonde, signs fixed deterministically (linear column
-    increasing, quadratic column convex)."""
+    increasing, quadratic column convex). Depends only on n, so the
+    result is memoized (and marked read-only) — series lengths cluster
+    tightly, making the QR a once-per-length cost per worker."""
     t = np.arange(n, dtype=np.float64)
     V = np.stack([np.ones(n), t, t * t], axis=1)
     Q, _ = np.linalg.qr(V)
@@ -607,6 +657,7 @@ def _ortho_poly2(n: int) -> np.ndarray:
         P[:, 0] = -P[:, 0]
     if P[0, 1] + P[-1, 1] < 2 * P[n // 2, 1]:  # quadratic must be convex
         P[:, 1] = -P[:, 1]
+    P.setflags(write=False)
     return P
 
 
@@ -632,6 +683,21 @@ def linearity_curvature(
     return float((P[:, 0] * tr).sum()), float((P[:, 1] * tr).sum())
 
 
+@lru_cache(maxsize=2)
+def _hw_grid(seasonal: bool) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """The flattened (α, β, γ) Holt-Winters search grid — constant per
+    ``seasonal`` flag, memoized so the meshgrid isn't rebuilt per
+    series. Arrays are read-only; the fit only broadcasts from them."""
+    alphas = np.array([0.05, 0.15, 0.3, 0.5, 0.7, 0.9])
+    betas = np.array([0.0, 0.05, 0.15, 0.3, 0.6])
+    gammas = np.array([0.0, 0.05, 0.15, 0.3, 0.6]) if seasonal else np.array([0.0])
+    A, B, G = np.meshgrid(alphas, betas, gammas, indexing="ij")
+    a, b, g = A.ravel(), B.ravel(), G.ravel()
+    for arr in (a, b, g):
+        arr.setflags(write=False)
+    return a, b, g
+
+
 def holt_winters_params(
     x: np.ndarray, ppy: int, max_points: int = 64
 ) -> tuple[float, float, float]:
@@ -652,13 +718,9 @@ def holt_winters_params(
     n = len(x)
     seasonal = ppy > 1 and n >= 2 * ppy + 2
     m = ppy if seasonal else 1
-    if n < max(2 * m + 2, 6) or np.var(x) == 0:
+    if n < max(2 * m + 2, 6) or _is_const(x):
         return 0.0, 0.0, 0.0
-    alphas = np.array([0.05, 0.15, 0.3, 0.5, 0.7, 0.9])
-    betas = np.array([0.0, 0.05, 0.15, 0.3, 0.6])
-    gammas = np.array([0.0, 0.05, 0.15, 0.3, 0.6]) if seasonal else np.array([0.0])
-    A, B, G = np.meshgrid(alphas, betas, gammas, indexing="ij")
-    a, b, g = A.ravel(), B.ravel(), G.ravel()
+    a, b, g = _hw_grid(seasonal)
     k = len(a)
     # standard HW initialization from the first two seasons
     if seasonal:
@@ -671,6 +733,7 @@ def holt_winters_params(
     trend = np.full(k, b0)
     seas = np.tile(s0, (k, 1))
     sse = np.zeros(k)
+    ab = a * b  # loop-invariant; (a*b)*e == a*b*e left-to-right
     start = m if seasonal else 1
     for i in range(start, n):
         si = seas[:, i % m]
@@ -678,7 +741,7 @@ def holt_winters_params(
         e = x[i] - f
         sse += e * e
         new_level = level + trend + a * e
-        trend = trend + a * b * e
+        trend = trend + ab * e
         seas[:, i % m] = si + g * e
         level = new_level
     j = int(np.argmin(sse))
@@ -756,7 +819,7 @@ def unitroot_kpss(x: np.ndarray) -> float:
     'short')."""
     x = np.asarray(x, dtype=np.float64)
     n = len(x)
-    if n < 4 or np.var(x) == 0:
+    if n < 4 or _is_const(x):
         return 0.0
     e = x - x.mean()
     s = np.cumsum(e)
@@ -775,7 +838,7 @@ def unitroot_pp(x: np.ndarray) -> float:
     short lags (tsfeatures `unitroot_pp` / urca ur.pp 'Z-alpha'):
     n(ρ̂−1) − n²(λ²−σ²ᵤ) / (2·Σ(y₋₁−ȳ₋₁)²)."""
     x = np.asarray(x, dtype=np.float64)
-    if len(x) < 5 or np.var(x) == 0:
+    if len(x) < 5 or _is_const(x):
         return 0.0
     y, y1 = x[1:], x[:-1]
     n = len(y)
@@ -801,7 +864,7 @@ def nonlinearity_stat(x: np.ndarray) -> float:
     χ² = n·log(SSR₀/SSR₁)."""
     x = np.asarray(x, dtype=np.float64)
     n0 = len(x)
-    if n0 < 8 or np.var(x) == 0:
+    if n0 < 8 or _is_const(x):
         return 0.0
     xs = (x - x.mean()) / x.std(ddof=1)
     y, y1 = xs[1:], xs[:-1]
@@ -830,7 +893,7 @@ def arch_stat(x: np.ndarray, lags: int = 12) -> float:
     ADVICE finding; verified on iid noise)."""
     x = np.asarray(x, dtype=np.float64)
     lags = min(lags, (len(x) - 2) // 2)
-    if lags < 1 or len(x) <= lags + 1 or np.var(x) == 0:
+    if lags < 1 or len(x) <= lags + 1 or _is_const(x):
         return 0.0
     y = (x - x.mean()) ** 2
     T = len(y) - lags
@@ -857,7 +920,7 @@ def _ar_prewhiten(x: np.ndarray, max_points: int = 2048) -> np.ndarray:
         x = x[-max_points:]
     n = len(x)
     d = x - x.mean()
-    if n < 10 or np.var(x) == 0:
+    if n < 10 or _is_const(x):
         return d
     pmax = min(int(10.0 * math.log10(n)), n - 1)
     rho = acf_vector(x, pmax)
@@ -940,12 +1003,12 @@ def heterogeneity(x: np.ndarray) -> tuple[float, float, float, float]:
     arch_acf = Σ of squared ACF(1..12) of u²; arch_r2 = ARCH LM R² of
     u; garch_* repeat both on the GARCH(1,1)-standardized residuals."""
     u = _ar_prewhiten(x)
-    if len(u) < 14 or np.var(u) == 0:
+    if len(u) < 14 or _is_const(u):
         return 0.0, 0.0, 0.0, 0.0
     arch_acf = float((acf_vector(u * u, 12) ** 2).sum())
     arch_r2 = arch_stat(u)
     z = _garch11_moments(u)
-    if len(z) < 14 or np.var(z) == 0:
+    if len(z) < 14 or _is_const(z):
         return arch_acf, 0.0, arch_r2, 0.0
     garch_acf = float((acf_vector(z * z, 12) ** 2).sum())
     garch_r2 = arch_stat(z)
@@ -1023,8 +1086,11 @@ def feature_vector(x: np.ndarray, seasonality: int) -> dict[str, float]:
     x = np.asarray(x, dtype=np.float64)
     n = len(x)
     slope, intercept = detrend_coeffs(x)
-    acf1 = acf(x, 1) if n > 1 else 0.0
-    acf10 = float(sum(acf(x, k) ** 2 for k in range(1, min(11, n))))
+    # lags 1..10 share one centering/denominator pass; each element is
+    # bit-identical to the scalar acf(x, k) it replaces
+    x_lags = _acf_cumsum_lags(x, min(10, n - 1)) if n > 1 else []
+    acf1 = x_lags[0] if n > 1 else 0.0
+    acf10 = float(sum(r**2 for r in x_lags))
     trend_s, seas_s = decompose_strengths(x, seasonality)
     width = seasonality if seasonality > 1 else 10
     if n >= 3:
