@@ -1090,7 +1090,14 @@ def feature_vector(x: np.ndarray, seasonality: int) -> dict[str, float]:
     # bit-identical to the scalar acf(x, k) it replaces
     x_lags = _acf_cumsum_lags(x, min(10, n - 1)) if n > 1 else []
     acf1 = x_lags[0] if n > 1 else 0.0
-    acf10 = float(sum(r**2 for r in x_lags))
+    # squares via IEEE multiply + sequential accumulation (cumsum), the
+    # same ops the batched twin runs — Python's r**2 (libm pow) can
+    # differ from r*r in the last ulp, so pow is avoided on both sides
+    acf10 = (
+        float(np.cumsum(np.asarray(x_lags, dtype=np.float64) ** 2)[-1])
+        if x_lags
+        else 0.0
+    )
     trend_s, seas_s = decompose_strengths(x, seasonality)
     width = seasonality if seasonality > 1 else 10
     if n >= 3:

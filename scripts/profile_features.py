@@ -45,14 +45,52 @@ def main() -> None:
     # warm once (numpy internals, any lazy imports)
     feature_vector(series[0], int(seas[0]))
 
-    t0 = time.perf_counter()
-    for x, s in zip(series, seas):
-        feature_vector(x, int(s))
-    wall = time.perf_counter() - t0
-    print(
-        f"{n} series, mean len {lens.mean():.0f}: {wall:.2f}s "
-        f"({1e3 * wall / n:.3f} ms/series, {n / wall:.0f} series/s/core)"
-    )
+    if "--batched-only" not in sys.argv:
+        t0 = time.perf_counter()
+        for x, s in zip(series, seas):
+            feature_vector(x, int(s))
+        wall = time.perf_counter() - t0
+        print(
+            f"{n} series, mean len {lens.mean():.0f}: {wall:.2f}s "
+            f"({1e3 * wall / n:.3f} ms/series, {n / wall:.0f} series/s/core)"
+        )
+
+    if "--batched" in sys.argv or "--batched-only" in sys.argv:
+        # the grouped (seasonality, length) dispatch exactly as the
+        # mapInPandas fabric runs it, at Arrow-batch granularity
+        import pandas as pd
+
+        from fforma_spark.functions import features as FF
+
+        prefix = {24: "H", 7: "D", 52: "W", 12: "M", 4: "Q", 1: "Y"}
+        pdf = pd.DataFrame(
+            {
+                "doc_id": [f"{prefix[int(s)]}{i:07d}" for i, s in enumerate(seas)],
+                "tokens": [x.tolist() for x in series],
+            }
+        )
+        for bsz in (2000, 10000, 50000):
+            if bsz > n:
+                continue
+            batches = [pdf.iloc[i : i + bsz] for i in range(0, n, bsz)]
+            t0 = time.perf_counter()
+            for out in FF._feature_batches(iter(batches), 1):
+                pass
+            wall = time.perf_counter() - t0
+            # group-size profile of the first batch
+            from collections import Counter
+
+            c = Counter(
+                (d[0], len(t))
+                for d, t in zip(batches[0]["doc_id"], batches[0]["tokens"])
+            )
+            sizes = np.array(sorted(c.values()))
+            batched_frac = sizes[sizes >= 3].sum() / sizes.sum()
+            print(
+                f"batched bsz={bsz}: {wall:.2f}s ({1e3 * wall / n:.3f} ms/series, "
+                f"{n / wall:.0f} series/s/core; groups/batch={len(c)}, "
+                f"rows in batched groups={100 * batched_frac:.0f}%)"
+            )
 
     if "--cprofile" in sys.argv:
         pr = cProfile.Profile()
