@@ -751,10 +751,43 @@ def heterogeneity_matrix(
 MIN_BATCH_ROWS = 3
 MIN_BATCH_LEN = 20
 
+#: rows-per-kernel-call element budget (~384 KB of float64): big
+#: enough to amortize numpy dispatch, small enough that the block and
+#: its temporaries stay cache-resident. Measured on this box with
+#: 8/32 concurrent workers over n=93 series: 50k-row blocks collapse
+#: 32-way aggregate throughput to 0.76x of 8-way (DRAM-bandwidth
+#: saturation — every executor thread streams multi-MB matrices),
+#: while ~512-row blocks give the best absolute 32-way throughput
+#: (~7x the unchunked rate) AND restore near-linear 8->32 scaling.
+CHUNK_ELEMS = 48_000
+
 
 def feature_matrix(X: np.ndarray, seasonality: int) -> dict[str, np.ndarray]:
     """All 45 T0 features for a (B, n) matrix of same-length series —
     bit-for-bit equal to per-row :func:`kernels.feature_vector`.
+
+    Large batches are processed in cache-resident row chunks
+    (``CHUNK_ELEMS`` elements per block); rows are independent, so
+    chunking is exact by construction.
+    """
+    X = np.ascontiguousarray(X, dtype=np.float64)
+    B, n = X.shape
+    rows = max(MIN_BATCH_ROWS, CHUNK_ELEMS // max(n, 1))
+    if B <= rows:
+        return _feature_matrix_block(X, seasonality)
+    parts = [
+        _feature_matrix_block(X[lo : lo + rows], seasonality)
+        for lo in range(0, B, rows)
+    ]
+    return {
+        name: np.concatenate([p[name] for p in parts]) for name in parts[0]
+    }
+
+
+def _feature_matrix_block(
+    X: np.ndarray, seasonality: int
+) -> dict[str, np.ndarray]:
+    """One cache-sized block of :func:`feature_matrix`.
 
     Constant rows are recomputed whole via the scalar path; rows
     flagged by a sub-kernel's data-dependent branch get just that

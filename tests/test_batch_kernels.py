@@ -87,6 +87,26 @@ def test_even_length_quirk_span() -> None:
                 assert (a, b) == (valid[0], valid[-1] + 1), (n, w)
 
 
+def test_chunked_equals_unchunked() -> None:
+    """feature_matrix splits big batches into cache-resident row
+    chunks — the split must be invisible in the values (rows are
+    independent) and must still bit-match the scalar path."""
+    rng = np.random.default_rng(42)
+    X = _mixed_rows(rng, 25, 80, 7)
+    whole = BK._feature_matrix_block(X, 7)
+    old = BK.CHUNK_ELEMS
+    BK.CHUNK_ELEMS = 80 * 7  # 7-row chunks -> 4 blocks
+    try:
+        chunked = BK.feature_matrix(X, 7)
+    finally:
+        BK.CHUNK_ELEMS = old
+    for name in K.FEATURE_NAMES:
+        a, b = chunked[name], whole[name]
+        same = (a == b) | (np.isnan(a) & np.isnan(b))
+        assert same.all(), name
+    _assert_bit_equal(X, 7)
+
+
 def test_single_row_matches() -> None:
     rng = np.random.default_rng(0)
     x = rng.integers(0, 1000, size=77).astype(float)
