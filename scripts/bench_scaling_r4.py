@@ -96,6 +96,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH_SCALING_r4.json"))
     ap.add_argument("--skip", default="")
+    ap.add_argument("--trials", type=int, default=1,
+                    help="fresh-JVM trials per (phase, level); best kept")
     ap.add_argument("--docs1m", type=int, default=1_000_000)
     ap.add_argument("--docs50k", type=int, default=50_000)
     ap.add_argument("--vecs1m", type=int, default=1_000_000)
@@ -161,15 +163,33 @@ def main() -> None:
         detail = {}
         for cpus in (8, 32):
             leg_extra = [a.format(cpus=cpus) for a in extra]
-            # tier output dirs are per-level so resume never crosses legs
-            if name == "tiers":
-                out_dir = f"/tmp/bench_tiers_r4_{cpus}"
-                subprocess.run(["rm", "-rf", out_dir], check=False)
-            detail[str(cpus)] = _run_leg(job, leg_extra, cpus)
-            print(f"{name} local[{cpus}]: {detail[str(cpus)].get('value')}s "
-                  f"(leg wall {detail[str(cpus)]['_leg_wall_sec']}s)",
-                  flush=True)
-            time.sleep(20)
+            # best leg per level over --trials fresh JVMs (the round-1/2
+            # protocol): this VM's neighbor load comes in multi-minute
+            # bursts, so a single trial can land entirely inside one
+            best = None
+            for t in range(args.trials):
+                # tier output dirs are per-level so resume never
+                # crosses legs or trials
+                if name == "tiers":
+                    out_dir = f"/tmp/bench_tiers_r4_{cpus}"
+                    subprocess.run(["rm", "-rf", out_dir], check=False)
+                leg = _run_leg(job, leg_extra, cpus)
+                print(f"{name} local[{cpus}] trial {t + 1}: "
+                      f"{leg.get('value')}s "
+                      f"(leg wall {leg['_leg_wall_sec']}s)", flush=True)
+                if best is None or leg["value"] < best["value"]:
+                    if best is not None:
+                        leg["_other_trial_secs"] = (
+                            best.get("_other_trial_secs", [])
+                            + [best["value"]]
+                        )
+                    best = leg
+                else:
+                    best.setdefault("_other_trial_secs", []).append(
+                        leg["value"]
+                    )
+                time.sleep(20)
+            detail[str(cpus)] = best
         t8, t32 = detail["8"]["value"], detail["32"]["value"]
 
         def _floor(leg: dict) -> float:
