@@ -98,6 +98,16 @@ def main() -> None:
     ap.add_argument("--skip", default="")
     ap.add_argument("--trials", type=int, default=1,
                     help="fresh-JVM trials per (phase, level); best kept")
+    ap.add_argument("--levels", default="8,32",
+                    help="two parallelism levels lo,hi (N vs (hi/lo)·N "
+                    "executors proxy); efficiency = (t_lo/t_hi)/(hi/lo)")
+    ap.add_argument("--phase-suffix", default="",
+                    help="suffix phase keys in the output (e.g. "
+                    "_below_knee) so extra level pairs merge instead of "
+                    "overwriting the 8/32 rows")
+    ap.add_argument("--merge", action="store_true",
+                    help="merge into an existing --out file instead of "
+                    "overwriting it")
     ap.add_argument("--docs1m", type=int, default=1_000_000)
     ap.add_argument("--docs50k", type=int, default=50_000)
     ap.add_argument("--vecs1m", type=int, default=1_000_000)
@@ -131,7 +141,8 @@ def main() -> None:
         "tiers": (
             "jobs/build_tiers.py",
             ["--input", stores["seq1m"], "--compress", "--features",
-             "--output", "/tmp/bench_tiers_r4_{cpus}"],
+             "--output", "/tmp/bench_tiers_r4" + args.phase_suffix
+             + "_{cpus}"],
         ),
         "dedup1m": (
             "jobs/dedup_pipeline.py",
@@ -149,19 +160,25 @@ def main() -> None:
         ),
     }
 
+    lo_c, hi_c = (int(x) for x in args.levels.split(","))
+    ratio = hi_c / lo_c
     result: dict = {
         "protocol": "identical stored input per phase, fresh JVM per leg "
-        "(spark-submit --py-files), local[8] then local[32], 20 s cooldown "
+        "(spark-submit --py-files), local[lo] then local[hi], 20 s cooldown "
         "between legs; per-op best-of-2 within the leg JVM; floor = leg "
         "wall - ALL timed rep work (JVM startup, input count, py-worker "
         "warmup only)",
         "phases": {},
     }
+    if args.merge and os.path.exists(args.out):
+        with open(args.out) as f:
+            result = json.load(f)
     for name, (job, extra) in phases.items():
         if name in skip:
             continue
+        name = name + args.phase_suffix
         detail = {}
-        for cpus in (8, 32):
+        for cpus in (lo_c, hi_c):
             leg_extra = [a.format(cpus=cpus) for a in extra]
             # best leg per level over --trials fresh JVMs (the round-1/2
             # protocol): this VM's neighbor load comes in multi-minute
@@ -170,8 +187,10 @@ def main() -> None:
             for t in range(args.trials):
                 # tier output dirs are per-level so resume never
                 # crosses legs or trials
-                if name == "tiers":
-                    out_dir = f"/tmp/bench_tiers_r4_{cpus}"
+                if name.startswith("tiers"):
+                    out_dir = (
+                        f"/tmp/bench_tiers_r4{args.phase_suffix}_{cpus}"
+                    )
                     subprocess.run(["rm", "-rf", out_dir], check=False)
                 leg = _run_leg(job, leg_extra, cpus)
                 print(f"{name} local[{cpus}] trial {t + 1}: "
@@ -190,7 +209,7 @@ def main() -> None:
                     )
                 time.sleep(20)
             detail[str(cpus)] = best
-        t8, t32 = detail["8"]["value"], detail["32"]["value"]
+        t8, t32 = detail[str(lo_c)]["value"], detail[str(hi_c)]["value"]
 
         def _floor(leg: dict) -> float:
             # fixed overhead = leg wall − ALL timed op work (every rep,
@@ -205,26 +224,32 @@ def main() -> None:
             return round(leg["_leg_wall_sec"] - work, 3)
 
         phase: dict = {
-            "local8_sec": t8,
-            "local32_sec": t32,
-            "speedup_8_to_32": round(t8 / t32, 3) if t32 else None,
-            "scaling_efficiency": round(t8 / t32 / 4.0, 3) if t32 else None,
+            f"local{lo_c}_sec": t8,
+            f"local{hi_c}_sec": t32,
+            f"speedup_{lo_c}_to_{hi_c}": (
+                round(t8 / t32, 3) if t32 else None
+            ),
+            "scaling_efficiency": (
+                round(t8 / t32 / ratio, 3) if t32 else None
+            ),
             # JVM startup + input count + py-worker warmup only
-            "floor_sec": {c: _floor(detail[c]) for c in ("8", "32")},
+            "floor_sec": {
+                c: _floor(detail[c]) for c in (str(lo_c), str(hi_c))
+            },
             "detail": detail,
         }
-        ops8 = detail["8"].get("ops")
-        ops32 = detail["32"].get("ops")
+        ops8 = detail[str(lo_c)].get("ops")
+        ops32 = detail[str(hi_c)].get("ops")
         if ops8 and ops32:
             per_op = {}
             for op in ops8:
                 a, b = ops8[op]["sec"], ops32[op].get("sec")
                 if b:
                     per_op[op] = {
-                        "local8_sec": a,
-                        "local32_sec": b,
+                        f"local{lo_c}_sec": a,
+                        f"local{hi_c}_sec": b,
                         "speedup": round(a / b, 3),
-                        "efficiency": round(a / b / 4.0, 3),
+                        "efficiency": round(a / b / ratio, 3),
                     }
             phase["per_op"] = per_op
         result["phases"][name] = phase

@@ -15,12 +15,28 @@ from hypothesis import given, settings, strategies as st
 from fforma_spark.functions.compress import (
     dod_decode,
     dod_encode,
+    dod_encode_matrix,
     xor_decode,
     xor_decode_fast,
     xor_encode,
 )
 
 I32 = st.integers(min_value=-(2**31), max_value=2**31 - 1)
+I64 = st.integers(min_value=-(2**63), max_value=2**63 - 1)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=8),
+    st.integers(min_value=3, max_value=600),
+    st.data(),
+)
+def test_dod_matrix_parity_any_int64(b, n, data):
+    rows = [
+        data.draw(st.lists(I64, min_size=n, max_size=n)) for _ in range(b)
+    ]
+    X = np.asarray(rows, dtype=np.int64)
+    assert dod_encode_matrix(X) == [dod_encode(r) for r in X]
 
 
 @settings(max_examples=300, deadline=None)
