@@ -43,13 +43,23 @@ def _submit_bin() -> str:
     return os.path.join(os.path.dirname(pyspark.__file__), "bin", "spark-submit")
 
 
-def _run_leg(job: str, extra: list[str], cpus: int) -> dict:
+def _run_leg(
+    job: str, extra: list[str], cpus: int, scratch: str = "/tmp"
+) -> dict:
     env = dict(os.environ)
     env["SPARK_GRAFT_CPUS"] = str(cpus)
     cmd = [
         _submit_bin(),
         "--master",
         f"local[{cpus}]",
+        # shuffle/spill scratch follows --scratch: on this sandbox the
+        # shared virtio disk is EPISODICALLY throttled (measured 5.5 ->
+        # 243 MB/s across consecutive fsync writes), which stalls
+        # write-bound phases by minutes and corrupts the scaling ratio;
+        # tmpfs scratch removes the one non-scalable device a real
+        # multi-executor cluster would not share anyway
+        "--conf",
+        f"spark.local.dir={scratch}/spark_local_{cpus}",
         # single-JVM local mode: the driver heap IS the executor heap —
         # mirror fforma_spark.session.get_spark's tuned local-mode JVM
         # (fixed pre-touched heap, ParallelGC, no shuffle-block mmap);
@@ -87,8 +97,8 @@ def _run_leg(job: str, extra: list[str], cpus: int) -> dict:
     return parsed
 
 
-def _store(job: str, extra: list[str]) -> None:
-    out = _run_leg(job, extra, cpus=32)
+def _store(job: str, extra: list[str], scratch: str = "/tmp") -> None:
+    out = _run_leg(job, extra, cpus=32, scratch=scratch)
     print(json.dumps(out), flush=True)
 
 
@@ -105,6 +115,11 @@ def main() -> None:
                     help="suffix phase keys in the output (e.g. "
                     "_below_knee) so extra level pairs merge instead of "
                     "overwriting the 8/32 rows")
+    ap.add_argument("--scratch", default="/tmp",
+                    help="dir for stored inputs, tier outputs and "
+                    "spark.local.dir (use /dev/shm to take the sandbox's "
+                    "episodically-throttled virtio disk out of the "
+                    "measurement)")
     ap.add_argument("--merge", action="store_true",
                     help="merge into an existing --out file instead of "
                     "overwriting it")
@@ -118,30 +133,36 @@ def main() -> None:
     subprocess.run(["rm", "-f", ZIP], check=False)
     subprocess.run(["zip", "-qr", ZIP, "fforma_spark"], cwd=REPO, check=True)
 
+    sc = args.scratch
+    os.makedirs(sc, exist_ok=True)
     stores = {
-        "docs1m": f"/tmp/bench_docs_{args.docs1m}",
-        "docs50k": f"/tmp/bench_docs_{args.docs50k}",
-        "emb1m": f"/tmp/bench_emb_{args.vecs1m}",
-        "seq1m": f"/tmp/bench_seq_{args.seq1m}",
+        "docs1m": f"{sc}/bench_docs_{args.docs1m}",
+        "docs50k": f"{sc}/bench_docs_{args.docs50k}",
+        "emb1m": f"{sc}/bench_emb_{args.vecs1m}",
+        "seq1m": f"{sc}/bench_seq_{args.seq1m}",
     }
     if not os.path.exists(stores["docs1m"]) and "dedup1m" not in skip:
         _store("jobs/dedup_pipeline.py",
-               ["--synth", str(args.docs1m), "--store", stores["docs1m"]])
+               ["--synth", str(args.docs1m), "--store", stores["docs1m"]],
+               scratch=sc)
     if not os.path.exists(stores["docs50k"]) and "dedup50k" not in skip:
         _store("jobs/dedup_pipeline.py",
-               ["--synth", str(args.docs50k), "--store", stores["docs50k"]])
+               ["--synth", str(args.docs50k), "--store", stores["docs50k"]],
+               scratch=sc)
     if not os.path.exists(stores["emb1m"]) and "ann1m" not in skip:
         _store("jobs/ann_pipeline.py",
-               ["--synth", str(args.vecs1m), "--store", stores["emb1m"]])
+               ["--synth", str(args.vecs1m), "--store", stores["emb1m"]],
+               scratch=sc)
     if not os.path.exists(stores["seq1m"]) and "tiers" not in skip:
         _store("jobs/build_tiers.py",
-               ["--synth", str(args.seq1m), "--store-input", stores["seq1m"]])
+               ["--synth", str(args.seq1m), "--store-input", stores["seq1m"]],
+               scratch=sc)
 
     phases = {
         "tiers": (
             "jobs/build_tiers.py",
             ["--input", stores["seq1m"], "--compress", "--features",
-             "--output", "/tmp/bench_tiers_r4" + args.phase_suffix
+             "--output", sc + "/bench_tiers_r4" + args.phase_suffix
              + "_{cpus}"],
         ),
         "dedup1m": (
@@ -189,10 +210,10 @@ def main() -> None:
                 # crosses legs or trials
                 if name.startswith("tiers"):
                     out_dir = (
-                        f"/tmp/bench_tiers_r4{args.phase_suffix}_{cpus}"
+                        f"{sc}/bench_tiers_r4{args.phase_suffix}_{cpus}"
                     )
                     subprocess.run(["rm", "-rf", out_dir], check=False)
-                leg = _run_leg(job, leg_extra, cpus)
+                leg = _run_leg(job, leg_extra, cpus, scratch=sc)
                 print(f"{name} local[{cpus}] trial {t + 1}: "
                       f"{leg.get('value')}s "
                       f"(leg wall {leg['_leg_wall_sec']}s)", flush=True)
