@@ -640,20 +640,113 @@ def sh64_band_candidates(s: DataFrame) -> DataFrame:
     )
 
 
-def simhash_hamming_neardup(docs: DataFrame, max_dist: int = 3) -> DataFrame:
+def _pairs_within(members: Column) -> Column:
+    """All ordered pairs (m[i], m[j]), i<j, of a SORTED id array —
+    Catalyst-only (transform + slice), no UDF."""
+    n = F.size(members)
+    return F.flatten(
+        F.transform(
+            members,
+            lambda x, i: F.transform(
+                F.slice(members, i + F.lit(2), n),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+
+
+def simhash_hamming_neardup(
+    docs: DataFrame, max_dist: int = 3, collapse: bool = True
+) -> DataFrame:
     """Pairs within Hamming distance ``max_dist`` (≤3) of the 64-bit
     signature. Candidates come from the 56 band-combination equi-joins
     on 40-bit keys (:func:`sh64_band_candidates` — pigeonhole over the
     8-band re-slice, never all-pairs); the exact distance verifies
     with bit_count(xor). The DuckDB twin keeps the simpler 4×16-chunk
     pigeonhole — both candidate schemes have full recall at d≤3, so
-    the verified OUTPUT pairs are identical."""
+    the verified OUTPUT pairs are identical.
+
+    ``collapse=True`` (default) runs the SIGNATURE-COLLAPSED plan —
+    the fix for the dup-cluster join skew measured in
+    BENCH_SCALING_r4.json ``dedup100k_sh64`` (a k-doc duplicate
+    cluster puts k identical rows on every band-combo key, so one
+    reducer materializes k² candidate pairs; 100k dup-heavy docs →
+    54.7M candidates for 21.0M output pairs at 2.19× scaling):
+
+    1. group docs by the full 64-bit signature → one REPRESENTATIVE
+       row per distinct signature + the sorted member-id list;
+    2. intra-cluster pairs (Hamming 0 by construction) emit
+       combinatorially from the member list — map-side, no join;
+    3. the banded self-join + verification run over UNIQUE signatures
+       only, so no join key ever sees a cluster twice — the skewed
+       quadratic reducer is gone by construction;
+    4. verified signature pairs expand back to doc pairs by exploding
+       both member lists (cross-cluster doc pairs inherit the
+       signature-level distance — all members share their cluster's
+       signature, so doc-level Hamming equals rep-level Hamming).
+
+    Output is EXACTLY the ``collapse=False`` pair set (each unordered
+    doc pair belongs to exactly one signature pair, intra or inter;
+    tests pin set equality). At 10⁹ docs the member lists ride one
+    groupBy row per distinct signature (8 bytes/member); a pathological
+    10⁶-member cluster is an 8 MB row and a single-task k²/2 intra
+    expansion — salt-split the expansion if that tier ever
+    materializes, the join itself stays skew-free either way."""
     if max_dist > 3:
         raise ValueError(
             "8-band/5-combo pigeonhole guarantees recall only for "
             "max_dist <= 3"
         )
     s = simhash64(docs)
+    sig_cols = [f"sh_{c}" for c in range(SIMHASH64_CHUNKS)]
+    if collapse:
+        u = s.groupBy(*sig_cols).agg(
+            F.sort_array(F.collect_list("doc_id")).alias("members")
+        )
+        uniq = u.select(
+            F.col("members")[0].alias("doc_id"), *sig_cols, "members"
+        )
+        intra = (
+            u.filter(F.size("members") > 1)
+            .select(F.explode(_pairs_within(F.col("members"))).alias("p"))
+            .select(
+                F.col("p.doc_a").alias("doc_a"),
+                F.col("p.doc_b").alias("doc_b"),
+                F.lit(0).cast("long").alias("hamming"),
+            )
+        )
+        rep_pairs = _sh64_verified_pairs(
+            uniq.drop("members"), max_dist
+        )
+        ma = uniq.select(
+            F.col("doc_id").alias("doc_a"), F.col("members").alias("ma")
+        )
+        mb = uniq.select(
+            F.col("doc_id").alias("doc_b"), F.col("members").alias("mb")
+        )
+        inter = (
+            rep_pairs.join(ma, "doc_a")
+            .join(mb, "doc_b")
+            .select(
+                F.explode("ma").alias("a_id"), F.col("mb"), "hamming"
+            )
+            .select(
+                F.col("a_id"), F.explode("mb").alias("b_id"), "hamming"
+            )
+            .select(
+                F.least("a_id", "b_id").alias("doc_a"),
+                F.greatest("a_id", "b_id").alias("doc_b"),
+                "hamming",
+            )
+        )
+        return intra.unionByName(inter)
+    return _sh64_verified_pairs(s, max_dist)
+
+
+def _sh64_verified_pairs(s: DataFrame, max_dist: int) -> DataFrame:
+    """Banded candidate join + exact Hamming verification over a
+    signature table (one row per doc_id — or per unique signature on
+    the collapsed path)."""
     cand = sh64_band_candidates(s)
     sa = s.select(
         F.col("doc_id").alias("doc_a"),

@@ -430,6 +430,44 @@ def test_simhash_hamming_matches_bruteforce(spark):
     assert len({s[3] for s in sigs.values()}) > 1  # salted chunk varies
 
 
+def test_simhash_hamming_collapsed_equals_uncollapsed(spark):
+    """The signature-collapsed plan (skew fix: groupBy sh64 →
+    banded join over UNIQUE signatures → combinatorial expansion)
+    returns EXACTLY the uncollapsed pair set — on a corpus with
+    engineered duplicate clusters so the intra-cluster emission and
+    the cross-cluster expansion both carry real weight."""
+    from pyspark.sql import functions as F
+
+    base = load_table(spark, SF, "documents").limit(120)
+    # 3 copies of every doc under distinct ids → every signature is a
+    # ≥3-member cluster (identical text ⇒ identical signature)
+    docs = base
+    for k in (1, 2):
+        docs = docs.unionByName(
+            base.withColumn(
+                "doc_id", (F.col("doc_id").cast("long") + 100_000 * k)
+            )
+        )
+    up = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in D.simhash_hamming_neardup(
+            docs, max_dist=3, collapse=False
+        ).collect()
+    }
+    cp = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in D.simhash_hamming_neardup(
+            docs, max_dist=3, collapse=True
+        ).collect()
+    }
+    assert len(cp) == len(up)
+    assert cp == up
+    # clusters really exist: at least the 3-copy pairs are present
+    some_id = base.select(F.col("doc_id").cast("long")).first()[0]
+    assert (some_id, some_id + 100_000) in cp
+    assert cp[(some_id, some_id + 100_000)] == 0
+
+
 def test_resize_bilinear_math():
     """Identity resize returns the image; 2x2 -> 4x4 matches the
     hand-computed half-pixel-center bilinear expansion."""
