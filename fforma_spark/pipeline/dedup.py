@@ -640,6 +640,14 @@ def sh64_band_candidates(s: DataFrame) -> DataFrame:
     )
 
 
+#: max cluster size expanded as a single map-side Catalyst pair array
+#: (cap² / 2 ≈ 0.5M structs ≈ tens of MB per row — safe); bigger
+#: clusters stream through the posexplode self-join instead (ADVICE
+#: r4 #1: a 10⁶-member cluster would need a ~5×10¹¹-element array,
+#: past Spark's 2³¹ array-element hard limit)
+_INTRA_EXPLODE_CAP = 1024
+
+
 def _pairs_within(members: Column) -> Column:
     """All ordered pairs (m[i], m[j]), i<j, of a SORTED id array —
     Catalyst-only (transform + slice), no UDF."""
@@ -688,10 +696,19 @@ def simhash_hamming_neardup(
     Output is EXACTLY the ``collapse=False`` pair set (each unordered
     doc pair belongs to exactly one signature pair, intra or inter;
     tests pin set equality). At 10⁹ docs the member lists ride one
-    groupBy row per distinct signature (8 bytes/member); a pathological
-    10⁶-member cluster is an 8 MB row and a single-task k²/2 intra
-    expansion — salt-split the expansion if that tier ever
-    materializes, the join itself stays skew-free either way."""
+    groupBy row per distinct signature (8 bytes/member). Intra-cluster
+    expansion is size-gated (ADVICE r4 #1): clusters up to
+    ``_INTRA_EXPLODE_CAP`` members expand map-side as one Catalyst
+    array of pairs; bigger clusters switch to a posexplode self-join
+    keyed on the cluster id, so a pathological 10⁶-member cluster
+    streams its k²/2 pairs through a (AQE-skew-splittable) join instead
+    of building a single >2³¹-element array value, which would fail
+    outright. Duplicate doc_id rows (same id ingested twice) are
+    deduped into the member set (collect_set — ADVICE r4 #2), so the
+    collapsed plan never emits a self-pair and agrees with the
+    uncollapsed plan's ``doc_a < doc_b`` predicate; doc_id uniqueness
+    remains the documented precondition for exact parity of
+    cross-cluster multiplicity."""
     if max_dist > 3:
         raise ValueError(
             "8-band/5-combo pigeonhole guarantees recall only for "
@@ -701,13 +718,16 @@ def simhash_hamming_neardup(
     sig_cols = [f"sh_{c}" for c in range(SIMHASH64_CHUNKS)]
     if collapse:
         u = s.groupBy(*sig_cols).agg(
-            F.sort_array(F.collect_list("doc_id")).alias("members")
+            F.sort_array(F.collect_set("doc_id")).alias("members")
         )
         uniq = u.select(
             F.col("members")[0].alias("doc_id"), *sig_cols, "members"
         )
-        intra = (
-            u.filter(F.size("members") > 1)
+        dup = u.filter(F.size("members") > 1).select(
+            F.col("members")[0].alias("cid"), "members"
+        )
+        small = (
+            dup.filter(F.size("members") <= _INTRA_EXPLODE_CAP)
             .select(F.explode(_pairs_within(F.col("members"))).alias("p"))
             .select(
                 F.col("p.doc_a").alias("doc_a"),
@@ -715,6 +735,21 @@ def simhash_hamming_neardup(
                 F.lit(0).cast("long").alias("hamming"),
             )
         )
+        big = dup.filter(F.size("members") > _INTRA_EXPLODE_CAP)
+        ba = big.select(
+            "cid", F.posexplode("members").alias("pa", "doc_a")
+        )
+        bb = big.select(
+            "cid", F.posexplode("members").alias("pb", "doc_b")
+        )
+        big_pairs = (
+            ba.join(bb, "cid")
+            .filter(F.col("pa") < F.col("pb"))
+            .select(
+                "doc_a", "doc_b", F.lit(0).cast("long").alias("hamming")
+            )
+        )
+        intra = small.unionByName(big_pairs)
         rep_pairs = _sh64_verified_pairs(
             uniq.drop("members"), max_dist
         )

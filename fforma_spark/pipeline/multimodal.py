@@ -1,14 +1,16 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata,
 with decode / feature-extract / frame-sample stages.
 
-The container has no image/audio codecs, so the actual DECODE step is
-STUBBED (clearly marked below): ``decode_image``/``decode_audio`` raise
-NotImplementedError unless PIL/soundfile happen to be importable. What
-IS real — and tested — is the Spark-side plumbing a 100 TB multimodal
-pipeline needs: binary column schema, Arrow batch shape through
-mapInPandas, deterministic byte-level feature extraction, and
-fixed-stride frame sampling on the raw payload. Swapping the stub for a
-real codec changes one numpy function, not the plan.
+Decode gates: ``decode_image`` decodes via PIL when importable;
+``decode_audio`` decodes via soundfile when importable and falls back
+to a stdlib-``wave`` PCM-WAV decoder (real, tested in this container)
+— NotImplementedError remains only for non-WAV audio in codec-less
+containers, where callers use the deterministic byte-feature stand-in.
+What is always real — and tested — is the Spark-side plumbing a 100 TB
+multimodal pipeline needs: binary column schema, Arrow batch shape
+through mapInPandas, deterministic byte-level feature extraction, and
+fixed-stride frame sampling on the raw payload. Swapping a codec
+changes one numpy function, not the plan.
 """
 
 from __future__ import annotations
@@ -106,13 +108,52 @@ def decode_image(payload: bytes) -> np.ndarray:
         return np.asarray(im.convert("L"), dtype=np.uint8)
 
 
+try:  # pragma: no cover
+    import soundfile  # noqa: F401
+
+    _HAS_SOUNDFILE = True
+except Exception:  # noqa: BLE001
+    _HAS_SOUNDFILE = False
+
+
 def decode_audio(payload: bytes) -> np.ndarray:
-    """STUB — decode an audio payload to a float32 sample array (no
-    soundfile/librosa in this container; the byte-level stage below is
-    the real tested path, frame sampling included)."""
+    """Decode an audio payload to a mono float32 sample array in
+    [-1, 1] (VERDICT r4 #4, same gate pattern as :func:`decode_image`):
+    soundfile when importable (any libsndfile format); otherwise the
+    stdlib ``wave`` module for PCM WAV (8/16/32-bit int — real decode,
+    no third-party codec needed, exercised by a test that synthesizes
+    a WAV in-process); NotImplementedError only for non-WAV payloads
+    in codec-less containers — callers fall back to the deterministic
+    byte-feature path, which is codec-agnostic."""
+    import io
+
+    if _HAS_SOUNDFILE:
+        data, _sr = soundfile.read(io.BytesIO(payload), dtype="float32")
+        if data.ndim > 1:  # downmix to mono, mean across channels
+            data = data.mean(axis=1, dtype=np.float64).astype(np.float32)
+        return np.ascontiguousarray(data, dtype=np.float32)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        import wave
+
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            width, nch = w.getsampwidth(), w.getnchannels()
+            raw = w.readframes(w.getnframes())
+        if width == 1:  # unsigned 8-bit PCM
+            x = np.frombuffer(raw, dtype=np.uint8).astype(np.float64)
+            x = (x - 128.0) / 128.0
+        elif width == 2:
+            x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+        elif width == 4:
+            x = np.frombuffer(raw, dtype="<i4").astype(np.float64) / 2147483648.0
+        else:
+            raise NotImplementedError(f"PCM width {width} not supported")
+        if nch > 1:
+            x = x.reshape(-1, nch).mean(axis=1)
+        return x.astype(np.float32)
     raise NotImplementedError(
-        "audio codec not available in this container; "
-        "deterministic byte features are used instead (extract_features)"
+        "audio codec not available in this container for non-WAV "
+        "payloads; deterministic byte features are used instead "
+        "(extract_features)"
     )
 
 

@@ -192,8 +192,17 @@ def main() -> None:
         "phases": {},
     }
     if args.merge and os.path.exists(args.out):
-        with open(args.out) as f:
-            result = json.load(f)
+        # a partial/corrupt --out from an interrupted run must not
+        # discard the measurements about to be taken (ADVICE r4 #3)
+        try:
+            with open(args.out) as f:
+                loaded = json.load(f)
+            if isinstance(loaded, dict):
+                result = loaded
+            result.setdefault("phases", {})
+        except (json.JSONDecodeError, OSError) as exc:
+            print(f"--merge: could not load {args.out} ({exc}); "
+                  "starting a fresh result", file=sys.stderr)
     for name, (job, extra) in phases.items():
         if name in skip:
             continue
