@@ -745,11 +745,29 @@ def heterogeneity_matrix(
 # the batched feature vector
 # ---------------------------------------------------------------------------
 
-#: groups below these thresholds take the scalar path — short series
-#: are cheap anyway and the scalar kernels' many small-n guards make
-#: lockstep batching pointless there
+#: Dispatch thresholds, DATA-DERIVED in round 5 (VERDICT r4 #3) by
+#: scripts/min_batch_crossover.py (best-of-5, probe-bracketed window,
+#: full table in BASELINE.md). Measured speedup batched/scalar:
+#:   rows=1–2             → 0.4–1.0× at every length: scalar.
+#:   rows=3–8, n ≤ ~300   → 1.05–2.5×: batched.
+#:   rows=3–8, n ≥ ~700   → 0.7–1.1× (a wash trending loss — the
+#:                          batched temporaries outgrow cache while
+#:                          scalar amortizes its dispatch over n):
+#:                          scalar above MAX_SMALL_BATCH_LEN.
+#:   rows ≥ 16            → 1.1–6.6× at EVERY length: batched.
+#: MIN_BATCH_LEN stays a CORRECTNESS floor, not a perf choice: the
+#: batched twins assume the decomposition/acf guards n ≥ 20 provides
+#: (short groups also measured batched-favorable at n=8, 1.4–6.6×,
+#: but exploiting that requires extending the twin's short-n guard
+#: coverage first — closed as not-worth-it: short series cost ~1 ms).
 MIN_BATCH_ROWS = 3
 MIN_BATCH_LEN = 20
+#: rows=3–15 groups longer than this take the scalar path (measured
+#: 0.76–0.9× batched at n=2000 for small groups)
+MAX_SMALL_BATCH_LEN = 512
+#: groups at least this tall batch at ANY length (measured ≥1.1× even
+#: at n=2000)
+BIG_BATCH_ROWS = 16
 
 #: rows-per-kernel-call element budget (~384 KB of float64): big
 #: enough to amortize numpy dispatch, small enough that the block and

@@ -25,6 +25,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window as W, functions as F
 
 from fforma_spark.functions.batch_kernels import (
+    BIG_BATCH_ROWS,
+    MAX_SMALL_BATCH_LEN,
     MIN_BATCH_LEN,
     MIN_BATCH_ROWS,
     feature_matrix,
@@ -114,7 +116,11 @@ def _feature_batches(
             s, n = int(seas[idx[0]]), int(lens[idx[0]])
             if n == 0:
                 vals[idx] = 0.0
-            elif len(idx) >= MIN_BATCH_ROWS and n >= MIN_BATCH_LEN:
+            elif (
+                len(idx) >= MIN_BATCH_ROWS
+                and n >= MIN_BATCH_LEN
+                and (len(idx) >= BIG_BATCH_ROWS or n <= MAX_SMALL_BATCH_LEN)
+            ):
                 X = np.empty((len(idx), n), dtype=np.float64)
                 for j, i in enumerate(idx):
                     X[j] = tokens[i]
