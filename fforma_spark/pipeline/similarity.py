@@ -288,16 +288,16 @@ def ann_lsh_candidate_pairs(
     kernel by default (``hash_path``), bit-identical to the Catalyst /
     DuckDB expression form (measured 2.4 s vs 20.1 s for the 64-fold
     expression form at 1M×64, local[32])."""
-    e = emb.select(
-        F.col("vec_id").cast("long").alias("vec_id"),
-        lsh_signatures(
-            F.col("embedding"), n_tables, n_bits, hash_path
-        ).alias("sigs"),
-    )
-    sig_arr = F.col("sigs")
+    # posexplode the signature expression IN the same select: a
+    # two-step select (alias then explode) lets CollapseProject
+    # duplicate the UDF — measured as TWO ArrowEvalPython nodes per
+    # branch, i.e. the 1M-row hash pass ran twice (pinned by
+    # tests/test_job_plans.py::test_ann_job_lsh_plan)
+    sig = lsh_signatures(F.col("embedding"), n_tables, n_bits, hash_path)
+    e = emb.select(F.col("vec_id").cast("long").alias("vec_id"), "embedding")
     cand = e.select(
         F.col("vec_id").alias("cand_id"),
-        F.posexplode(sig_arr).alias("tbl", "bucket"),
+        F.posexplode(sig).alias("tbl", "bucket"),
     )
     masks = F.array(
         *[F.lit(m) for m in probe_masks(n_bits, probe_hamming)]
@@ -306,7 +306,7 @@ def ann_lsh_candidate_pairs(
         e.filter(F.col("vec_id") < n_queries)
         .select(
             F.col("vec_id").alias("query_id"),
-            F.posexplode(sig_arr).alias("tbl", "sig"),
+            F.posexplode(sig).alias("tbl", "sig"),
         )
         .select(
             "query_id",
