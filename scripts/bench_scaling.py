@@ -1,4 +1,4 @@
-"""Round-4 two-cluster-size scaling bench (north_rule evidence).
+"""Two-cluster-size scaling bench (north_rule evidence; rounds 4-5).
 
 Same protocol as round 3 (identical stored parquet inputs, fresh JVM
 per leg via spark-submit --py-files — the production invocation,
@@ -19,7 +19,7 @@ Phases: tiers (1M-doc/205M-point sequences: compress + 45 features),
 dedup1m (exact + minhash r2 + ngram index), dedup50k (minhash r1 +
 simhash64 Hamming), ann1m (brute/LSH/IVF + 1-Lloyd, recall@k).
 
-Usage: python scripts/bench_scaling_r4.py [--skip tiers,...] [--out F]
+Usage: python scripts/bench_scaling.py [--skip tiers,...] [--out F]
 NOTE: run nothing else on the box while timed legs run — CPU
 contention corrupts the efficiency evidence.
 """
@@ -104,7 +104,7 @@ def _store(job: str, extra: list[str], scratch: str = "/tmp") -> None:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default=os.path.join(REPO, "BENCH_SCALING_r4.json"))
+    ap.add_argument("--out", default=os.path.join(REPO, "BENCH_SCALING_r5.json"))
     ap.add_argument("--skip", default="")
     ap.add_argument("--trials", type=int, default=1,
                     help="fresh-JVM trials per (phase, level); best kept")
@@ -162,7 +162,7 @@ def main() -> None:
         "tiers": (
             "jobs/build_tiers.py",
             ["--input", stores["seq1m"], "--compress", "--features",
-             "--output", sc + "/bench_tiers_r4" + args.phase_suffix
+             "--output", sc + "/bench_tiers_r5" + args.phase_suffix
              + "_{cpus}"],
         ),
         "dedup1m": (
@@ -219,7 +219,7 @@ def main() -> None:
                 # crosses legs or trials
                 if name.startswith("tiers"):
                     out_dir = (
-                        f"{sc}/bench_tiers_r4{args.phase_suffix}_{cpus}"
+                        f"{sc}/bench_tiers_r5{args.phase_suffix}_{cpus}"
                     )
                     subprocess.run(["rm", "-rf", out_dir], check=False)
                 leg = _run_leg(job, leg_extra, cpus, scratch=sc)
