@@ -39,6 +39,12 @@ def main() -> None:
         help="time each op N times, report best (steady state) + all "
         "reps — separates per-op work from first-run warmup floors",
     )
+    ap.add_argument(
+        "--ops",
+        default="brute,lsh,ivf,ivf_lloyd",
+        help="comma subset of brute,lsh,ivf,ivf_lloyd (recall needs "
+        "brute; a big-corpus LSH scaling leg runs brute,lsh only)",
+    )
     args = ap.parse_args()
 
     from fforma_spark.session import get_spark
@@ -96,43 +102,54 @@ def main() -> None:
         }
         return pairs
 
-    truth = run("knn_bruteforce", lambda: S.knn_bruteforce(emb, nq, k))
-    lsh = run("ann_lsh_topk", lambda: S.ann_lsh_topk(emb, nq, k))
-    # candidate volume (untimed diagnostic): how many distinct pairs
-    # the multi-probe union scored, vs the exact path's Q·(N-1) —
-    # VERDICT r4 #1 asks for the measured candidate-count increase
-    n_cand = S.ann_lsh_candidate_pairs(emb, nq).count()
-    out["ops"]["ann_lsh_topk"]["candidates"] = n_cand
-    out["ops"]["ann_lsh_topk"]["cand_frac_of_exact"] = round(
-        n_cand / (nq * max(n_vecs - 1, 1)), 5
-    )
-    out["ops"]["ann_lsh_topk"]["lsh_conf"] = {
-        "n_tables": S.N_TABLES,
-        "n_bits": S.N_BITS,
-        "probe_hamming": S.PROBE_HAMMING,
-        "n_probes_per_table": len(S.probe_masks()),
-    }
-    ivf0 = run(
-        "ann_ivf_topk",
-        lambda: S.ann_ivf_topk(emb, nq, k, args.cells, args.nprobe),
-    )
-    # production path: double-sum Lloyd (the decimal-exact variant
-    # exists for the DuckDB oracle's bit-identity, not for throughput)
-    ivf1 = run(
-        "ann_ivf_lloyd1_topk",
-        lambda: S.ann_ivf_topk(
-            emb, nq, k, args.cells, args.nprobe,
-            lloyd_iters=1, lloyd_exact=False,
-        ),
-    )
-    for name, pairs in (
-        ("ann_lsh_topk", lsh),
-        ("ann_ivf_topk", ivf0),
-        ("ann_ivf_lloyd1_topk", ivf1),
-    ):
-        out["ops"][name]["recall_at_k"] = round(
-            len(pairs & truth) / max(len(truth), 1), 4
+    ops = set(args.ops.split(","))
+    approx: list[tuple[str, set]] = []
+    truth: set = set()
+    if "brute" in ops:
+        truth = run("knn_bruteforce", lambda: S.knn_bruteforce(emb, nq, k))
+    if "lsh" in ops:
+        approx.append(
+            ("ann_lsh_topk", run("ann_lsh_topk",
+                                 lambda: S.ann_lsh_topk(emb, nq, k)))
         )
+        # candidate volume (untimed diagnostic): how many distinct
+        # pairs the multi-probe union scored, vs the exact path's
+        # Q·(N-1) — VERDICT r4 #1 asks for the measured increase
+        n_cand = S.ann_lsh_candidate_pairs(emb, nq).count()
+        out["ops"]["ann_lsh_topk"]["candidates"] = n_cand
+        out["ops"]["ann_lsh_topk"]["cand_frac_of_exact"] = round(
+            n_cand / (nq * max(n_vecs - 1, 1)), 5
+        )
+        out["ops"]["ann_lsh_topk"]["lsh_conf"] = {
+            "n_tables": S.N_TABLES,
+            "n_bits": S.N_BITS,
+            "probe_hamming": S.PROBE_HAMMING,
+            "n_probes_per_table": len(S.probe_masks()),
+        }
+    if "ivf" in ops:
+        approx.append(
+            ("ann_ivf_topk", run(
+                "ann_ivf_topk",
+                lambda: S.ann_ivf_topk(emb, nq, k, args.cells, args.nprobe),
+            ))
+        )
+    if "ivf_lloyd" in ops:
+        # production path: double-sum Lloyd (the decimal-exact variant
+        # exists for the DuckDB oracle's bit-identity, not throughput)
+        approx.append(
+            ("ann_ivf_lloyd1_topk", run(
+                "ann_ivf_lloyd1_topk",
+                lambda: S.ann_ivf_topk(
+                    emb, nq, k, args.cells, args.nprobe,
+                    lloyd_iters=1, lloyd_exact=False,
+                ),
+            ))
+        )
+    for name, pairs in approx:
+        if truth:
+            out["ops"][name]["recall_at_k"] = round(
+                len(pairs & truth) / max(len(truth), 1), 4
+            )
     out["value"] = round(sum(o["sec"] for o in out["ops"].values()), 3)
     print(json.dumps(out))
 

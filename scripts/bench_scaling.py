@@ -123,6 +123,11 @@ def main() -> None:
     ap.add_argument("--merge", action="store_true",
                     help="merge into an existing --out file instead of "
                     "overwriting it")
+    ap.add_argument("--probe-gate", action="store_true",
+                    help="bracket each phase with host_calibration "
+                    "--batched: wait for an in-band pre-probe, rerun a "
+                    "phase whose post-probe lands out of band (max 2 "
+                    "attempts), and record the brackets in the JSON")
     ap.add_argument("--docs1m", type=int, default=1_000_000)
     ap.add_argument("--docs50k", type=int, default=50_000)
     ap.add_argument("--vecs1m", type=int, default=1_000_000)
@@ -179,10 +184,41 @@ def main() -> None:
             "jobs/ann_pipeline.py",
             ["--input", stores["emb1m"], "--reps", "2"],
         ),
+        # work-dominated LSH leg (round 5): at Q=8 the multi-probe op
+        # finishes in ~5 s and its 8→32 ratio measures the fixed floor
+        # (worker forks, broadcasts), not the operator. Q=512 is the
+        # production shape LSH exists for — brute force would be
+        # 512·(N-1) ≈ 5×10⁸ cosines — and gives the candidate join +
+        # rank window a multi-minute parallel span. --ops lsh skips
+        # brute/IVF (recall@512 needs no re-proving; recall is graded
+        # on the ann1m phase at Q=8 where truth is cheap).
+        "lsh1m_q512": (
+            "jobs/ann_pipeline.py",
+            ["--input", stores["emb1m"], "--queries", "512",
+             "--ops", "lsh", "--reps", "2"],
+        ),
     }
 
     lo_c, hi_c = (int(x) for x in args.levels.split(","))
     ratio = hi_c / lo_c
+
+    def probe() -> dict:
+        """host_calibration --batched bracket (round-4 protocol, now
+        built in): in-band means the plain-process 8→32 throughput
+        ratio sits in the clean-window band; out-of-band marks the
+        phase it brackets as contended."""
+        proc = subprocess.run(
+            [sys.executable,
+             os.path.join(REPO, "scripts", "host_calibration.py"),
+             "--batched"],
+            capture_output=True, text=True, check=True,
+        )
+        full = json.loads(proc.stdout.strip().splitlines()[-1])
+        r = full["throughput_speedup_8_to_32"]
+        band = tuple(float(x) for x in os.environ.get(
+            "SPARK_GRAFT_PROBE_BAND", "2.55,3.7").split(","))
+        return {"ratio": r, "in_band": band[0] <= r <= band[1],
+                "band": list(band)}
     result: dict = {
         "protocol": "identical stored input per phase, fresh JVM per leg "
         "(spark-submit --py-files), local[lo] then local[hi], 20 s cooldown "
@@ -207,39 +243,6 @@ def main() -> None:
         if name in skip:
             continue
         name = name + args.phase_suffix
-        detail = {}
-        for cpus in (lo_c, hi_c):
-            leg_extra = [a.format(cpus=cpus) for a in extra]
-            # best leg per level over --trials fresh JVMs (the round-1/2
-            # protocol): this VM's neighbor load comes in multi-minute
-            # bursts, so a single trial can land entirely inside one
-            best = None
-            for t in range(args.trials):
-                # tier output dirs are per-level so resume never
-                # crosses legs or trials
-                if name.startswith("tiers"):
-                    out_dir = (
-                        f"{sc}/bench_tiers_r5{args.phase_suffix}_{cpus}"
-                    )
-                    subprocess.run(["rm", "-rf", out_dir], check=False)
-                leg = _run_leg(job, leg_extra, cpus, scratch=sc)
-                print(f"{name} local[{cpus}] trial {t + 1}: "
-                      f"{leg.get('value')}s "
-                      f"(leg wall {leg['_leg_wall_sec']}s)", flush=True)
-                if best is None or leg["value"] < best["value"]:
-                    if best is not None:
-                        leg["_other_trial_secs"] = (
-                            best.get("_other_trial_secs", [])
-                            + [best["value"]]
-                        )
-                    best = leg
-                else:
-                    best.setdefault("_other_trial_secs", []).append(
-                        leg["value"]
-                    )
-                time.sleep(20)
-            detail[str(cpus)] = best
-        t8, t32 = detail[str(lo_c)]["value"], detail[str(hi_c)]["value"]
 
         def _floor(leg: dict) -> float:
             # fixed overhead = leg wall − ALL timed op work (every rep,
@@ -253,35 +256,106 @@ def main() -> None:
             ) or leg["value"]
             return round(leg["_leg_wall_sec"] - work, 3)
 
-        phase: dict = {
-            f"local{lo_c}_sec": t8,
-            f"local{hi_c}_sec": t32,
-            f"speedup_{lo_c}_to_{hi_c}": (
-                round(t8 / t32, 3) if t32 else None
-            ),
-            "scaling_efficiency": (
-                round(t8 / t32 / ratio, 3) if t32 else None
-            ),
-            # JVM startup + input count + py-worker warmup only
-            "floor_sec": {
-                c: _floor(detail[c]) for c in (str(lo_c), str(hi_c))
-            },
-            "detail": detail,
-        }
-        ops8 = detail[str(lo_c)].get("ops")
-        ops32 = detail[str(hi_c)].get("ops")
-        if ops8 and ops32:
-            per_op = {}
-            for op in ops8:
-                a, b = ops8[op]["sec"], ops32[op].get("sec")
-                if b:
-                    per_op[op] = {
-                        f"local{lo_c}_sec": a,
-                        f"local{hi_c}_sec": b,
-                        "speedup": round(a / b, 3),
-                        "efficiency": round(a / b / ratio, 3),
-                    }
-            phase["per_op"] = per_op
+        def run_phase() -> dict:
+            detail = {}
+            for cpus in (lo_c, hi_c):
+                leg_extra = [a.format(cpus=cpus) for a in extra]
+                # best leg per level over --trials fresh JVMs (the
+                # round-1/2 protocol): this VM's neighbor load comes in
+                # multi-minute bursts, so a single trial can land
+                # entirely inside one
+                best = None
+                for t in range(args.trials):
+                    # tier output dirs are per-level so resume never
+                    # crosses legs or trials
+                    if name.startswith("tiers"):
+                        out_dir = (
+                            f"{sc}/bench_tiers_r5{args.phase_suffix}_{cpus}"
+                        )
+                        subprocess.run(["rm", "-rf", out_dir], check=False)
+                    leg = _run_leg(job, leg_extra, cpus, scratch=sc)
+                    print(f"{name} local[{cpus}] trial {t + 1}: "
+                          f"{leg.get('value')}s "
+                          f"(leg wall {leg['_leg_wall_sec']}s)", flush=True)
+                    if best is None or leg["value"] < best["value"]:
+                        if best is not None:
+                            leg["_other_trial_secs"] = (
+                                best.get("_other_trial_secs", [])
+                                + [best["value"]]
+                            )
+                        best = leg
+                    else:
+                        best.setdefault("_other_trial_secs", []).append(
+                            leg["value"]
+                        )
+                    time.sleep(20)
+                detail[str(cpus)] = best
+            t8, t32 = detail[str(lo_c)]["value"], detail[str(hi_c)]["value"]
+            phase: dict = {
+                f"local{lo_c}_sec": t8,
+                f"local{hi_c}_sec": t32,
+                f"speedup_{lo_c}_to_{hi_c}": (
+                    round(t8 / t32, 3) if t32 else None
+                ),
+                "scaling_efficiency": (
+                    round(t8 / t32 / ratio, 3) if t32 else None
+                ),
+                # JVM startup + input count + py-worker warmup only
+                "floor_sec": {
+                    c: _floor(detail[c]) for c in (str(lo_c), str(hi_c))
+                },
+                "detail": detail,
+            }
+            ops8 = detail[str(lo_c)].get("ops")
+            ops32 = detail[str(hi_c)].get("ops")
+            if ops8 and ops32:
+                per_op = {}
+                for op in ops8:
+                    a, b = ops8[op]["sec"], ops32[op].get("sec")
+                    if b:
+                        per_op[op] = {
+                            f"local{lo_c}_sec": a,
+                            f"local{hi_c}_sec": b,
+                            "speedup": round(a / b, 3),
+                            "efficiency": round(a / b / ratio, 3),
+                        }
+                phase["per_op"] = per_op
+            return phase
+
+        if not args.probe_gate:
+            phase = run_phase()
+        else:
+            # round-4 protocol, automated: accept a phase only when
+            # BOTH brackets are in-band; wait out contended windows
+            # before starting, retry once if the window degrades
+            # mid-phase, and keep the brackets (plus any discarded
+            # attempt) in the JSON so the adjudication is on record.
+            phase = None
+            for attempt in range(2):
+                pre = probe()
+                waits = 0
+                while not pre["in_band"] and waits < 10:
+                    print(f"{name}: pre-probe {pre['ratio']} out of band, "
+                          "waiting 60 s", flush=True)
+                    time.sleep(60)
+                    pre = probe()
+                    waits += 1
+                cand = run_phase()
+                post = probe()
+                cand["probe_bracket"] = {
+                    "pre": pre, "post": post, "attempt": attempt + 1,
+                    "in_band": pre["in_band"] and post["in_band"],
+                }
+                if cand["probe_bracket"]["in_band"] or attempt == 1:
+                    if phase is not None:
+                        cand["discarded_attempt"] = {
+                            k: v for k, v in phase.items() if k != "detail"
+                        }
+                    phase = cand
+                    break
+                print(f"{name}: post-probe {post['ratio']} out of band — "
+                      "discarding attempt, retrying", flush=True)
+                phase = cand
         result["phases"][name] = phase
         with open(args.out, "w") as f:
             json.dump(result, f, indent=1)
