@@ -36,7 +36,8 @@ SUBMIT = os.path.join(os.path.dirname(pyspark.__file__), "bin", "spark-submit")
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def leg(zip_path: str, cpus: int, tag: str, seq: str, scratch: str) -> dict:
+def leg(zip_path: str, cpus: int, tag: str, seq: str, scratch: str,
+        job_args: list[str]) -> dict:
     out = f"{scratch}/ab_tiers_{tag}_{cpus}"
     subprocess.run(["rm", "-rf", out], check=False)
     env = dict(os.environ)
@@ -50,7 +51,7 @@ def leg(zip_path: str, cpus: int, tag: str, seq: str, scratch: str) -> dict:
         "--conf", "spark.storage.memoryMapThreshold=2g",
         "--py-files", zip_path,
         os.path.join(REPO, "jobs", "build_tiers.py"),
-        "--input", seq, "--compress", "--output", out,
+        "--input", seq, "--output", out, *job_args,
     ]
     t0 = time.time()
     p = subprocess.run(cmd, capture_output=True, text=True, env=env,
@@ -62,10 +63,14 @@ def leg(zip_path: str, cpus: int, tag: str, seq: str, scratch: str) -> dict:
         sys.stderr.write(p.stderr[-3000:])
         raise SystemExit(f"leg failed {tag}")
     d = json.loads(line)
-    return {"tag": tag, "cpus": cpus, "wall": round(wall, 1),
-            "value": d["value"],
-            "ladder": d["phases"]["ladder_sec"],
-            "compress": d["compress"]["wall_sec"]}
+    row = {"tag": tag, "cpus": cpus, "wall": round(wall, 1),
+           "value": d["value"],
+           "ladder": d["phases"]["ladder_sec"]}
+    if "compress" in d:
+        row["compress"] = d["compress"]["wall_sec"]
+    if "features" in d:
+        row["features"] = d["features"]["wall_sec"]
+    return row
 
 
 def main() -> None:
@@ -78,12 +83,16 @@ def main() -> None:
     ap.add_argument("--reps", type=int, default=2)
     ap.add_argument("--seq", default="/dev/shm/bench/bench_seq_1000000")
     ap.add_argument("--scratch", default="/dev/shm/bench")
+    ap.add_argument("--job-args", default="--compress",
+                    help="space-separated extra build_tiers args, e.g. "
+                    "'--features' to A/B the feature phase")
     args = ap.parse_args()
 
+    job_args = args.job_args.split()
     rows = []
     for rep in range(args.reps):
         for tag, z in ((args.b_tag, args.b), (args.a_tag, args.a)):
-            r = leg(z, args.cpus, tag, args.seq, args.scratch)
+            r = leg(z, args.cpus, tag, args.seq, args.scratch, job_args)
             r["rep"] = rep + 1
             print(json.dumps(r), flush=True)
             rows.append(r)
