@@ -236,6 +236,28 @@ def ann_lsh_buckets(spark, sf_dir):
     return S.lsh_buckets(_emb(spark, sf_dir), _LSH_T, _LSH_B)
 
 
+@register(
+    "embedding_neardup_lsh",
+    f"""
+    SELECT vec_a, vec_b, {sql_round6('cos_sim')} AS cos_sim
+    FROM ({S.embedding_neardup_lsh_sql(_COS_THRESH, _LSH_T, _LSH_B, _LSH_R)}) e
+    """,
+)
+def embedding_neardup_lsh(spark, sf_dir):
+    """The SCALE path for ``embedding_neardup`` (whose registered row
+    is the exact O(N²) baseline): banding-style LSH self-join —
+    candidates are pairs whose sign-hyperplane signatures collide in
+    any of 4 tables within Hamming≤2 (one-sided XOR probing), then an
+    exact cosine verify ≥ the same threshold. Quadratic only per
+    bucket (Σ n_b², n_bits tracks log2 N), never N². Same small-N
+    operating point as ann_lsh_topk; the DuckDB twin mirrors planes,
+    probe masks, pair dedup and the cosine fold bit-identically."""
+    out = S.embedding_neardup_lsh(
+        _emb(spark, sf_dir), _COS_THRESH, _LSH_T, _LSH_B, _LSH_R
+    )
+    return out.withColumn("cos_sim", stable_round6("cos_sim"))
+
+
 # --- multimodal ------------------------------------------------------------
 
 

@@ -730,3 +730,121 @@ def ann_lsh_topk_sql(
         )
         SELECT query_id, cand_id, cos_sim, rank FROM ranked WHERE rank <= {k}
     """
+
+
+# --- LSH-bucketed embedding near-dup (the scale path for
+# pipeline.dedup.embedding_neardup's O(N²) correctness baseline) ------------
+
+
+def embedding_neardup_lsh(
+    emb: DataFrame,
+    threshold: float,
+    n_tables: int = N_TABLES,
+    n_bits: int = N_BITS,
+    probe_hamming: int = 0,
+    hash_path: str = "arrow",
+) -> DataFrame:
+    """All (vec_a < vec_b) pairs with cosine ≥ ``threshold`` whose LSH
+    signatures collide in at least one of ``n_tables`` tables (within
+    Hamming distance ``probe_hamming``, one-sided XOR probing) — the
+    banding-style SCALE path for :func:`~fforma_spark.pipeline.dedup.
+    embedding_neardup`, which is the exact O(N²) baseline.
+
+    Scale shape: the bucket index is N·n_tables (id, tbl, bucket) rows
+    — ids only, no vectors move until the verify join. Candidates are
+    the per-(tbl, bucket) self-join, so the quadratic term is
+    Σ n_bucket² per table, never N²: tune ``n_bits`` up with log2(N)
+    to keep buckets small (every entry point takes overrides, same as
+    the ANN path). The cosine verify joins the two embedding sides
+    back by id — at small N both sides broadcast; at scale AQE picks
+    shuffle joins keyed on vec_id, which is the right plan there.
+
+    Default ``probe_hamming=0`` is the classic banded near-dup scheme
+    (exact bucket match per table: recall comes from table count);
+    ``probe_hamming>0`` trades candidate volume for per-table recall
+    exactly as in :func:`ann_lsh_candidate_pairs`. The DuckDB twin
+    (:func:`embedding_neardup_lsh_sql`) mirrors plane literals, XOR
+    masks, pair dedup, and the cosine fold order bit-identically."""
+    sig = lsh_signatures(F.col("embedding"), n_tables, n_bits, hash_path)
+    e = emb.select(F.col("vec_id").cast("long").alias("vec_id"), "embedding")
+    buckets = e.select(
+        "vec_id", F.posexplode(sig).alias("tbl", "bucket")
+    )
+    masks = F.array(
+        *[F.lit(m) for m in probe_masks(n_bits, probe_hamming)]
+    ).cast("array<long>")
+    probes = buckets.select(
+        "vec_id", "tbl", F.explode(masks).alias("mask"), "bucket"
+    ).select(
+        "vec_id", "tbl", F.col("bucket").bitwiseXOR(F.col("mask")).alias("bucket")
+    )
+    pairs = (
+        probes.alias("a")
+        .join(buckets.alias("b"), ["tbl", "bucket"])
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+        )
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    ea = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
+    eb = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    return (
+        pairs.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            cosine(F.col("emb_a"), F.col("emb_b")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .select("vec_a", "vec_b", "cos_sim")
+    )
+
+
+def embedding_neardup_lsh_sql(
+    threshold: float,
+    n_tables: int = N_TABLES,
+    n_bits: int = N_BITS,
+    probe_hamming: int = 0,
+) -> str:
+    """DuckDB twin of :func:`embedding_neardup_lsh` — same plane
+    literals, XOR probe masks, id-pair dedup, and cosine fold order,
+    so the driver row is value-hashed, not rows-only."""
+    cos = cosine_sql("ea.embedding", "eb.embedding")
+    sigs = ",\n                   ".join(
+        f"{mlsh_bucket_sql(t, n_bits=n_bits)} AS b{t}"
+        for t in range(n_tables)
+    )
+    return f"""
+        WITH b AS (
+            SELECT vec_id, embedding,
+                   {sigs}
+            FROM embeddings
+        ),
+        buckets AS (
+            SELECT vec_id, t.tbl,
+                   {_tbl_case_sql(n_tables)} AS bucket
+            FROM b CROSS JOIN {_tbl_values_sql(n_tables)}
+        ),
+        probes AS (
+            SELECT vec_id, t.tbl,
+                   xor({_tbl_case_sql(n_tables)}, CAST(m.mask AS BIGINT))
+                       AS bucket
+            FROM b CROSS JOIN {_tbl_values_sql(n_tables)}
+                   CROSS JOIN {_mask_values_sql(
+                       probe_masks(n_bits, probe_hamming))}
+        ),
+        pairs AS (
+            SELECT DISTINCT p.vec_id AS vec_a, c.vec_id AS vec_b
+            FROM probes p
+            JOIN buckets c ON p.tbl = c.tbl AND p.bucket = c.bucket
+            WHERE p.vec_id < c.vec_id
+        )
+        SELECT vec_a, vec_b, {cos} AS cos_sim
+        FROM pairs
+        JOIN embeddings ea ON ea.vec_id = vec_a
+        JOIN embeddings eb ON eb.vec_id = vec_b
+        WHERE {cos} >= {threshold!r}
+    """

@@ -665,3 +665,42 @@ def test_thumbnails_match_numpy_oracle(spark):
         )
         assert np.allclose(got[int(r["doc_id"])], expect, rtol=1e-6)
         assert got[int(r["doc_id"])].shape == (64,)
+
+
+def test_embedding_neardup_lsh_subset_and_recall(spark):
+    """The LSH scale path (a) never emits a pair the exact O(N²)
+    baseline wouldn't (the cosine verify runs on every candidate),
+    (b) finds ≥ 0.75 of the exact pairs at the registered small-N
+    operating point (4 tables, 8 bits, Hamming≤2), and (c) recalls
+    EVERY planted jitter-duplicate pair with a tighter geometry
+    (banding: 8 tables, exact bucket) on a corpus where dups are
+    cosine ≥ 0.99 and background pairs are near-orthogonal."""
+    emb = load_table(spark, SF, "embeddings")
+    exact = {
+        (r["vec_a"], r["vec_b"])
+        for r in D.embedding_neardup(emb, 0.35).collect()
+    }
+    got = {
+        (r["vec_a"], r["vec_b"])
+        for r in S.embedding_neardup_lsh(emb, 0.35, 4, 8, 2).collect()
+    }
+    assert got <= exact
+    assert len(got) / len(exact) >= 0.75, len(got) / len(exact)
+
+    # planted-dup corpus: every 4th vector is a jittered copy of its
+    # block head; everything else is an independent Gaussian draw
+    rng = np.random.Generator(np.random.Philox(key=[99, 0]))
+    base = rng.normal(0.0, 1.0, (80, 64))
+    X = base.copy()
+    planted = set()
+    for i in range(3, 80, 4):
+        head = (i // 4) * 4
+        X[i] = base[head] + rng.normal(0.0, 0.02, 64)
+        planted.add((head, i))
+    pdf = [(int(i), [float(v) for v in X[i]]) for i in range(80)]
+    df = spark.createDataFrame(pdf, "vec_id long, embedding array<float>")
+    found = {
+        (r["vec_a"], r["vec_b"])
+        for r in S.embedding_neardup_lsh(df, 0.99, 8, 8, 0).collect()
+    }
+    assert planted <= found, planted - found
