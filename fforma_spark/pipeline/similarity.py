@@ -848,3 +848,50 @@ def embedding_neardup_lsh_sql(
         JOIN embeddings eb ON eb.vec_id = vec_b
         WHERE {cos} >= {threshold!r}
     """
+
+
+def exact_neardup_pairs_sampled(
+    emb: DataFrame, threshold: float, n_sample: int
+) -> DataFrame:
+    """Exact cosine-≥-threshold pairs RESTRICTED to ``vec_a <
+    n_sample`` — the sampled ground truth for grading
+    :func:`embedding_neardup_lsh` recall at corpus scale, where the
+    full exact baseline is O(N²). O(S·N) instead, distributed as one
+    mapInPandas pass with the S-row sample matrix shipped in the
+    closure (S·DIM floats — bounded by the caller's sample size, the
+    same shape as the literal-centroid IVF assignment).
+
+    Diagnostic, not an oracle: the numpy dot order differs from the
+    Catalyst left-fold, so a pair sitting exactly on the threshold can
+    differ in the last ulp between the two paths. Fine for a recall
+    denominator; never registered as a driver row."""
+    import numpy as np
+
+    e = emb.select(F.col("vec_id").cast("long").alias("vec_id"), "embedding")
+    sample = e.filter(F.col("vec_id") < n_sample).collect()
+    sid = np.array([r["vec_id"] for r in sample], dtype=np.int64)
+    S = np.asarray(
+        [np.asarray(r["embedding"], dtype=np.float64) for r in sample]
+    )
+    Sn = S / np.linalg.norm(S, axis=1, keepdims=True)
+
+    def gen(it):
+        import pandas as pd
+
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            X = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+            C = Sn @ Xn.T
+            ai, bi = np.nonzero(C >= threshold)
+            va, vb = sid[ai], ids[bi]
+            keep = va < vb
+            yield pd.DataFrame(
+                {"vec_a": va[keep], "vec_b": vb[keep]}
+            )
+
+    return e.mapInPandas(gen, "vec_a long, vec_b long")

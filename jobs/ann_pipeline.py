@@ -42,8 +42,30 @@ def main() -> None:
     ap.add_argument(
         "--ops",
         default="brute,lsh,ivf,ivf_lloyd",
-        help="comma subset of brute,lsh,ivf,ivf_lloyd (recall needs "
-        "brute; a big-corpus LSH scaling leg runs brute,lsh only)",
+        help="comma subset of brute,lsh,ivf,ivf_lloyd,neardup (recall "
+        "needs brute; a big-corpus LSH scaling leg runs brute,lsh "
+        "only; neardup is the all-pairs embedding_neardup_lsh leg)",
+    )
+    # near-dup leg knobs — defaults are DATA-DERIVED at 100k on the
+    # stored corpus geometry (lsh_param_sim-style replay, round 5):
+    # 12 tables x 24 bits, one-sided Hamming<=1 probing -> sampled
+    # recall 0.905 at 0.29% of N^2/2 candidate volume, threshold 0.9
+    # (the densest cosine tier that still means "near-duplicate" on
+    # this corpus: >=0.95 pairs are empty, >=0.9 pairs are ~2.7k/100k)
+    ap.add_argument("--neardup-thresh", type=float, default=0.9)
+    ap.add_argument("--neardup-tables", type=int, default=12)
+    ap.add_argument("--neardup-bits", type=int, default=24)
+    ap.add_argument("--neardup-probe", type=int, default=1)
+    ap.add_argument(
+        "--neardup-limit", type=int, default=0,
+        help="run the near-dup op over vec_id < N only (0 = full "
+        "corpus; the candidate mass is quadratic in the cluster "
+        "occupancy, so scaling legs pin this)",
+    )
+    ap.add_argument(
+        "--neardup-sample", type=int, default=2048,
+        help="sampled-exact recall denominator: grade recall over "
+        "exact pairs with vec_a < this (0 disables the diagnostic)",
     )
     args = ap.parse_args()
 
@@ -149,6 +171,55 @@ def main() -> None:
         if truth:
             out["ops"][name]["recall_at_k"] = round(
                 len(pairs & truth) / max(len(truth), 1), 4
+            )
+    if "neardup" in ops:
+        from pyspark.sql import functions as F
+        from fforma_spark.util import best_of
+
+        nd_emb = (
+            emb.filter(F.col("vec_id") < args.neardup_limit)
+            if args.neardup_limit
+            else emb
+        )
+        nd_conf = (
+            args.neardup_thresh, args.neardup_tables,
+            args.neardup_bits, args.neardup_probe,
+        )
+        nd = S.embedding_neardup_lsh(nd_emb, *nd_conf)
+        # timed: the production output is the full verified pair set
+        best, times, n_pairs = best_of(args.reps, nd.count)
+        out["ops"]["embedding_neardup_lsh"] = {
+            "sec": best,
+            "rep_times": times,
+            "rows": n_pairs,
+            "conf": {
+                "threshold": args.neardup_thresh,
+                "n_tables": args.neardup_tables,
+                "n_bits": args.neardup_bits,
+                "probe_hamming": args.neardup_probe,
+                "limit": args.neardup_limit or n_vecs,
+            },
+        }
+        if args.neardup_sample:
+            # untimed diagnostic (not part of the scaling number):
+            # recall vs the sampled exact ground truth — pairs with
+            # vec_a < sample, exact side one O(S·N) mapInPandas pass
+            s = args.neardup_sample
+            got = {
+                (r["vec_a"], r["vec_b"])
+                for r in nd.filter(F.col("vec_a") < s).collect()
+            }
+            exact = {
+                (r["vec_a"], r["vec_b"])
+                for r in S.exact_neardup_pairs_sampled(
+                    nd_emb, args.neardup_thresh, s
+                ).collect()
+            }
+            out["ops"]["embedding_neardup_lsh"]["sampled_recall"] = round(
+                len(got & exact) / max(len(exact), 1), 4
+            )
+            out["ops"]["embedding_neardup_lsh"]["sampled_exact_pairs"] = len(
+                exact
             )
     out["value"] = round(sum(o["sec"] for o in out["ops"].values()), 3)
     print(json.dumps(out))

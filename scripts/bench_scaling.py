@@ -205,6 +205,17 @@ def main() -> None:
             ["--input", stores["emb1m"], "--queries", "512",
              "--ops", "lsh", "--reps", "2"],
         ),
+        # all-pairs embedding near-dup via the banded LSH self-join
+        # (round 5): candidate mass is quadratic in cluster occupancy
+        # on this corpus, so the leg pins a 100k slice of the stored
+        # 1M corpus — work-dominated (~minutes), parameters
+        # data-derived (12x24-bit tables, Hamming<=1 probing, sampled
+        # recall 0.905 vs exact at threshold 0.9)
+        "neardup100k": (
+            "jobs/ann_pipeline.py",
+            ["--input", stores["emb1m"], "--ops", "neardup",
+             "--neardup-limit", "100000", "--reps", "2"],
+        ),
     }
 
     lo_c, hi_c = (int(x) for x in args.levels.split(","))
