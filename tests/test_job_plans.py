@@ -200,3 +200,18 @@ def test_ann_job_knn_is_the_declared_exception(spark, emb):
     plan = _plan(S.knn_bruteforce(emb, 8, 10))
     _assert_no_rowwise_python(plan, "knn")
     assert "CartesianProduct" not in plan
+
+
+def test_ann_job_neardup_lsh_plan(spark, emb):
+    """embedding_neardup_lsh as the neardup leg runs it
+    (jobs/ann_pipeline.py --ops neardup, data-derived defaults 12×24
+    Hamming≤1): the only Python stages are the Arrow signature kernels
+    (one per side of the probe/index split), the bucket self-join is a
+    hash equi-join (never quadratic), and the verify joins back by id."""
+    from fforma_spark.pipeline import similarity as S
+
+    plan = _plan(S.embedding_neardup_lsh(emb, 0.9, 12, 24, 1))
+    _assert_no_rowwise_python(plan, "neardup lsh")
+    _assert_no_quadratic_join(plan, "neardup lsh")
+    arrow = len(re.findall(r"^\(\d+\) ArrowEvalPython", plan, re.M))
+    assert 1 <= arrow <= 2, f"duplicated signature kernel: {arrow} stages"
