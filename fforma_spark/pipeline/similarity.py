@@ -329,6 +329,30 @@ def ann_lsh_candidate_pairs(
     )
 
 
+#: Broadcast the candidate-pair id table only while its EXPECTED row
+#: count stays under this: Q·T·P·N/2^B rows of two longs ≈ 32 MB of
+#: hash relation at the cap. Above it the pairs side must shuffle-join
+#: (an explicit broadcast() hint is binding — AQE never demotes it, so
+#: a hint here would serialize a Q=512×1M run behind a single-threaded
+#: ~4M-row driver-side hash-relation build; measured as the 2.0×
+#: 8→32 plateau of the round-5 lsh1m_q512 leg).
+BROADCAST_PAIRS_MAX = 1_000_000
+
+
+def _expected_lsh_pairs(
+    n_queries: int, n_tables: int, n_bits: int, probe_hamming: int,
+    n_vecs: int | None,
+) -> float:
+    """Expected multi-probe candidate volume Q·T·P·N/2^B (the random
+    term; clustered mass comes on top but tracks the same knob). With
+    no ``n_vecs`` hint the caller gets the conservative answer: assume
+    N = 2^B·16 (one probe row ≈ 16 candidates, past the measured 1M
+    point) so only genuinely small probe sets keep the hint."""
+    probes = n_queries * n_tables * len(probe_masks(n_bits, probe_hamming))
+    per_probe = (n_vecs / float(1 << n_bits)) if n_vecs else 16.0
+    return probes * per_probe
+
+
 def ann_lsh_topk(
     emb: DataFrame,
     n_queries: int,
@@ -337,6 +361,7 @@ def ann_lsh_topk(
     n_bits: int = N_BITS,
     probe_hamming: int = PROBE_HAMMING,
     hash_path: str = "arrow",
+    n_vecs: int | None = None,
 ) -> DataFrame:
     """Multi-table multi-probe LSH ANN: rank the union of candidates
     from all ``n_tables`` tables' Hamming-``probe_hamming`` probe
@@ -344,20 +369,31 @@ def ann_lsh_topk(
     0.975 at 1M vectors for 2.5% of the exact path's candidate volume
     (the round-4 single-probe scheme measured 0.2 — VERDICT r4 #1).
 
-    Embedding fetch: the deduped id pairs BROADCAST against the
-    embeddings scan (Q·2.5%·N ids ≈ 3 MB at 1M — no shuffle of
-    vectors at all); queries join the same way. At a Q where the id
-    set outgrows the broadcast threshold, AQE falls back to a shuffle
-    join on vec_id — the right plan at that scale."""
+    Embedding fetch: while the expected pair count Q·T·P·N/2^B stays
+    under :data:`BROADCAST_PAIRS_MAX`, the deduped id pairs BROADCAST
+    against the embeddings scan (Q=8 at 1M ≈ 67k id rows ≈ 1 MB — no
+    shuffle of vectors at all). At production Q the pairs table is
+    millions of rows and the hint is DROPPED — an explicit broadcast()
+    is binding (AQE cannot demote it), and building a ~4M-row hash
+    relation happens single-threaded on the driver, which measured as
+    a hard 2.0× scaling plateau on the 8→32 lsh1m_q512 leg. Without
+    the hint the join shuffles both sides on vec_id — embarrassingly
+    parallel, the right plan at that scale. Pass ``n_vecs`` (the jobs
+    do) so the estimate uses the real N; with no hint the conservative
+    default only broadcasts genuinely small probe sets."""
     pairs = ann_lsh_candidate_pairs(
         emb, n_queries, n_tables, n_bits, probe_hamming, hash_path
+    )
+    small = (
+        _expected_lsh_pairs(n_queries, n_tables, n_bits, probe_hamming, n_vecs)
+        <= BROADCAST_PAIRS_MAX
     )
     e = emb.select(F.col("vec_id").cast("long").alias("vec_id"), "embedding")
     q = e.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
     scored = (
-        F.broadcast(pairs)
+        (F.broadcast(pairs) if small else pairs)
         .join(e, pairs["cand_id"] == e["vec_id"])
         .join(F.broadcast(q), "query_id")
         .select(

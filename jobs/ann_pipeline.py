@@ -132,7 +132,8 @@ def main() -> None:
     if "lsh" in ops:
         approx.append(
             ("ann_lsh_topk", run("ann_lsh_topk",
-                                 lambda: S.ann_lsh_topk(emb, nq, k)))
+                                 lambda: S.ann_lsh_topk(
+                                     emb, nq, k, n_vecs=n_vecs)))
         )
         # candidate volume (untimed diagnostic): how many distinct
         # pairs the multi-probe union scored, vs the exact path's

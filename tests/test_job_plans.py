@@ -173,6 +173,44 @@ def test_ann_job_lsh_plan(spark, emb):
     _assert_no_quadratic_join(topk_plan, "lsh topk")
 
 
+def test_ann_job_lsh_big_q_drops_pairs_broadcast(spark, emb):
+    """At production Q the candidate-pair table is millions of id
+    rows; the broadcast() hint on it is binding (AQE cannot demote an
+    explicit hint) and its single-threaded driver-side hash-relation
+    build measured as a hard 2.0× plateau on the 8→32 lsh1m_q512 leg.
+    ann_lsh_topk must drop the hint once the expected pair count
+    passes BROADCAST_PAIRS_MAX, leaving a shuffle join on vec_id."""
+    from fforma_spark.pipeline import similarity as S
+
+    # Q=512 at the N the bench runs (1M): est 512·4·137·1M/2^16 ≈ 4.3M
+    # pairs — far past the 1M-row cap
+    est = S._expected_lsh_pairs(512, S.N_TABLES, S.N_BITS,
+                                S.PROBE_HAMMING, 1_000_000)
+    assert est > S.BROADCAST_PAIRS_MAX
+    # the 200-row fixture sits under autoBroadcastJoinThreshold, so
+    # Catalyst would STATISTICALLY broadcast the un-hinted join and
+    # mask the hint's presence; disable the threshold so the only
+    # broadcasts left are the explicit hints — exactly the situation
+    # at 1M rows, where stats put every side far past the threshold
+    thresh = emb.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    emb.sparkSession.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # the pairs⋈embeddings join must be a shuffle join: with the
+        # hint gone Catalyst plans SMJ/SHJ on vec_id (the tiny q side
+        # keeps its broadcast — assert the shuffle join exists, not
+        # that broadcasts vanish)
+        plan = _plan(S.ann_lsh_topk(emb, 512, 10, n_vecs=1_000_000))
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+        # the small-Q default (the oracled driver row's shape) still
+        # broadcasts end to end: no shuffle join in its plan
+        small = _plan(S.ann_lsh_topk(emb, 8, 10, n_vecs=1_000_000))
+        assert ("SortMergeJoin" not in small
+                and "ShuffledHashJoin" not in small), small
+    finally:
+        emb.sparkSession.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", thresh)
+
+
 def test_ann_job_ivf_assignment_zero_shuffle(spark, emb):
     """The IVF cell assignment (jobs/ann_pipeline.py:101-113 via
     ann_ivf_topk → _assign_cells): literal-centroid scan→project with
