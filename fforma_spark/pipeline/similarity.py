@@ -270,17 +270,24 @@ def ann_lsh_candidate_pairs(
     n_bits: int = N_BITS,
     probe_hamming: int = PROBE_HAMMING,
     hash_path: str = "arrow",
+    dedupe: bool = True,
 ) -> DataFrame:
     """Deduplicated multi-table multi-probe candidate set:
     ``(query_id, cand_id)``, one row per distinct pair — IDs ONLY, so
     the dedup exchange moves 16-byte rows, never embeddings (the
     embedding fetch is the caller's broadcast join-back, see
-    :func:`ann_lsh_topk`).
+    :func:`ann_lsh_topk`). ``dedupe=False`` skips the distinct
+    exchange and returns the raw table/probe collision multiset (a
+    pair appears ≤ T·P times): the grouped Arrow scorer dedups ids in
+    numpy inside the groupBy-cand shuffle it needs anyway, so at 90M
+    pairs (Q=4096×1M) this deletes an entire 90M-row exchange.
 
     Scale shape: the candidate index is N·T rows (vec_id, tbl, bucket)
     — column-pruned to ids, no vectors move. The probe side is
     Q·T·(#masks) rows (Q=8, T=4, 137 masks → 4 384 rows) and
-    BROADCASTS; each probe matches at most one bucket per table, so a
+    BROADCASTS while small (past ~1M probe rows the bucket join
+    shuffles — see the inline note); each probe matches at most one
+    bucket per table, so a
     pair can duplicate at most T× before the dropDuplicates. Expected
     candidate volume Q·T·P·N/2^B + clustered mass — measured 2.5% of N
     per query at 1M (scripts/lsh_param_sim.py), vs the exact path's
@@ -320,13 +327,21 @@ def ann_lsh_candidate_pairs(
             F.col("sig").bitwiseXOR(F.col("mask")).alias("bucket"),
         )
     )
-    return (
-        F.broadcast(probes)
+    # the probe side is Q·T·(#masks) rows: tiny at Q=8 (4 384 —
+    # broadcast), but 2.2M rows at Q=4096 where the binding hint
+    # would serialize a ~50 MB driver-side hash-relation build; past
+    # the cap the bucket join shuffles on (tbl, bucket) instead
+    n_probe_rows = (
+        n_queries * n_tables * len(probe_masks(n_bits, probe_hamming))
+    )
+    probes_small = n_probe_rows <= BROADCAST_PAIRS_MAX
+    raw = (
+        (F.broadcast(probes) if probes_small else probes)
         .join(cand, ["tbl", "bucket"])
         .filter(F.col("query_id") != F.col("cand_id"))
         .select("query_id", "cand_id")
-        .dropDuplicates(["query_id", "cand_id"])
     )
+    return raw.dropDuplicates(["query_id", "cand_id"]) if dedupe else raw
 
 
 #: Broadcast the candidate-pair id table only while its EXPECTED row
@@ -353,6 +368,111 @@ def _expected_lsh_pairs(
     return probes * per_probe
 
 
+def _score_candidates_arrow(
+    pairs: DataFrame, e: DataFrame, n_queries: int, k: int | None = None
+) -> DataFrame:
+    """Score (query_id, cand_id) candidates against a driver-collected
+    query matrix in one vectorized numpy pass per Arrow batch.
+
+    The Catalyst higher-order-function cosine costs ~2.4 µs per 64-d
+    pair per thread (it allocates a zipped array per row) and is
+    allocation-bound — measured 27.3 s → 10.0 s (2.7×) 8→32 on the
+    11.3M-pair Q=512×1M leg, i.e. 75% of the op and the scaling
+    bottleneck. The naive Arrow replacement (one embedding per PAIR
+    row through mapInPandas) just moves the bottleneck into Arrow
+    serialization: 11.3M × 512 B ≈ 6 GB, measured 8.4 s → 3.8 s (2.2×,
+    bandwidth-capped) for an IDENTITY mapInPandas on the same rows.
+
+    So the fan-out happens in numpy, not in the data plane: group the
+    pair ids by candidate (skinny 16-byte rows shuffle), join each
+    DISTINCT candidate's embedding exactly once (≤N rows cross Arrow,
+    ~10× less bytes than per-pair), and expand inside the batch with
+    ``np.repeat`` against the closure-carried query matrix (Q·D floats
+    — 512×64 ≈ 256 KB, so it needs no join at all). The q collect is
+    control-plane bounded (Q rows, same convention as the IVF centroid
+    collect above). Float caveat: numpy's pairwise summation differs
+    from the oracle path's left-fold by ~1 ulp, so ranks can flip only
+    between effectively-tied candidates — the oracled driver row keeps
+    the fold-exact Catalyst scorer (`score_path='catalyst'`)."""
+    import numpy as np
+    import pandas as pd
+
+    qrows = (
+        e.filter(F.col("vec_id") < n_queries)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    dim = len(qrows[0]["embedding"]) if qrows else DIM
+    qmat = np.zeros((n_queries, dim), dtype=np.float64)
+    for r in qrows:
+        qmat[r["vec_id"]] = r["embedding"]
+    qnorm = np.sqrt((qmat * qmat).sum(axis=1))
+
+    grouped = pairs.groupBy("cand_id").agg(
+        F.collect_list("query_id").alias("qids")
+    )
+    joined = grouped.join(e, grouped["cand_id"] == e["vec_id"]).select(
+        "cand_id", "qids", "embedding"
+    )
+    nq = n_queries
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            qlists = [
+                np.asarray(x, dtype=np.int64) for x in pdf["qids"].to_numpy()
+            ]
+            counts = np.fromiter(
+                (len(x) for x in qlists), dtype=np.int64, count=len(qlists)
+            )
+            qflat = np.concatenate(qlists) if qlists else np.empty(0, np.int64)
+            rep = np.repeat(np.arange(len(pdf)), counts)
+            # the input is the raw table/probe collision multiset
+            # (dedupe=False upstream): dedup (cand, query) here, in
+            # one vectorized unique over composite keys, instead of
+            # paying a whole-dataset distinct exchange before the
+            # groupBy shuffle
+            uniq = np.unique(rep * np.int64(nq) + qflat)
+            rep, qflat = np.divmod(uniq, np.int64(nq))
+            E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            cnorm = np.sqrt((E * E).sum(axis=1))
+            num = (E[rep] * qmat[qflat]).sum(axis=1)
+            cand = pdf["cand_id"].to_numpy()[rep]
+            cos = num / (cnorm[rep] * qnorm[qflat])
+            if k is not None and len(cos):
+                # partial top-k per query WITHIN the batch: the global
+                # top-k per query is a subset of the union of per-batch
+                # top-ks (anything pruned here loses to ≥k better rows
+                # of the same query downstream too), so the rank window
+                # sees ~batches·Q·k rows instead of every scored pair —
+                # 90M → ~4M Arrow-out rows at the Q=4096×1M leg. Sort
+                # keys mirror the window's exact ordering (cos desc,
+                # cand_id asc) so tie-break parity with the Catalyst
+                # path is preserved.
+                order = np.lexsort((cand, -cos, qflat))
+                qs = qflat[order]
+                starts = np.flatnonzero(
+                    np.r_[True, qs[1:] != qs[:-1]]
+                )
+                pos = np.arange(len(qs)) - np.repeat(
+                    starts, np.diff(np.r_[starts, len(qs)])
+                )
+                keep = order[pos < k]
+                qflat, cand, cos = qflat[keep], cand[keep], cos[keep]
+            yield pd.DataFrame(
+                {
+                    "query_id": qflat,
+                    "cand_id": cand,
+                    "cos_sim": cos,
+                }
+            )
+
+    return joined.mapInPandas(
+        score, "query_id long, cand_id long, cos_sim double"
+    )
+
+
 def ann_lsh_topk(
     emb: DataFrame,
     n_queries: int,
@@ -362,6 +482,7 @@ def ann_lsh_topk(
     probe_hamming: int = PROBE_HAMMING,
     hash_path: str = "arrow",
     n_vecs: int | None = None,
+    score_path: str = "auto",
 ) -> DataFrame:
     """Multi-table multi-probe LSH ANN: rank the union of candidates
     from all ``n_tables`` tables' Hamming-``probe_hamming`` probe
@@ -380,28 +501,45 @@ def ann_lsh_topk(
     the hint the join shuffles both sides on vec_id — embarrassingly
     parallel, the right plan at that scale. Pass ``n_vecs`` (the jobs
     do) so the estimate uses the real N; with no hint the conservative
-    default only broadcasts genuinely small probe sets."""
-    pairs = ann_lsh_candidate_pairs(
-        emb, n_queries, n_tables, n_bits, probe_hamming, hash_path
-    )
+    default only broadcasts genuinely small probe sets.
+
+    Scoring: ``score_path='catalyst'`` evaluates the cosine as the
+    oracle-mirrored left-fold expression; ``'arrow'`` scores each
+    Arrow batch against a closure-carried numpy query matrix (see
+    :func:`_score_candidates_arrow` — the Catalyst expression is the
+    scaling bottleneck past ~10M pairs). ``'auto'`` keys off the same
+    expected-pair estimate as the broadcast hint."""
     small = (
         _expected_lsh_pairs(n_queries, n_tables, n_bits, probe_hamming, n_vecs)
         <= BROADCAST_PAIRS_MAX
     )
+    if score_path == "auto":
+        score_path = "catalyst" if small else "arrow"
+    # the arrow scorer dedups (cand, query) in numpy inside the
+    # groupBy-cand shuffle, so it takes the raw collision multiset and
+    # the whole-dataset distinct exchange disappears from the plan
+    pairs = ann_lsh_candidate_pairs(
+        emb, n_queries, n_tables, n_bits, probe_hamming, hash_path,
+        dedupe=(score_path != "arrow"),
+    )
     e = emb.select(F.col("vec_id").cast("long").alias("vec_id"), "embedding")
-    q = e.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
-    )
-    scored = (
-        (F.broadcast(pairs) if small else pairs)
-        .join(e, pairs["cand_id"] == e["vec_id"])
-        .join(F.broadcast(q), "query_id")
-        .select(
-            "query_id",
-            "cand_id",
-            cosine(F.col("q_emb"), F.col("embedding")).alias("cos_sim"),
+    if score_path == "arrow":
+        scored = _score_candidates_arrow(pairs, e, n_queries, k)
+    else:
+        q = e.filter(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
         )
-    )
+        scored = (
+            (F.broadcast(pairs) if small else pairs)
+            .join(e, pairs["cand_id"] == e["vec_id"])
+            .join(F.broadcast(q), "query_id")
+            .select(
+                "query_id",
+                "cand_id",
+                cosine(F.col("q_emb"), F.col("embedding")).alias("cos_sim"),
+            )
+        )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "cand_id")
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -162,7 +162,8 @@ def main() -> None:
         _store("jobs/dedup_pipeline.py",
                ["--synth", str(args.docs50k), "--store", stores["docs50k"]],
                scratch=sc)
-    if not os.path.exists(stores["emb1m"]) and "ann1m" not in skip:
+    emb_phases = {"ann1m", "lsh1m_q512", "lsh1m_q4096", "neardup100k"}
+    if not os.path.exists(stores["emb1m"]) and emb_phases - skip:
         _store("jobs/ann_pipeline.py",
                ["--synth", str(args.vecs1m), "--store", stores["emb1m"]],
                scratch=sc)
@@ -203,6 +204,17 @@ def main() -> None:
         "lsh1m_q512": (
             "jobs/ann_pipeline.py",
             ["--input", stores["emb1m"], "--queries", "512",
+             "--ops", "lsh", "--reps", "2"],
+        ),
+        # after the grouped-arrow scorer + conditional hints made the
+        # Q=512 op ~6 s at local[32] (37.9 s → 10.3 s at local[8]),
+        # Q=512 is floor-bound again; Q=4096 (≈90M candidate pairs,
+        # shuffle-dominated: skinny id rows fan out, every embedding
+        # crosses Arrow once) is the work-dominated reading of the
+        # SAME operator
+        "lsh1m_q4096": (
+            "jobs/ann_pipeline.py",
+            ["--input", stores["emb1m"], "--queries", "4096",
              "--ops", "lsh", "--reps", "2"],
         ),
         # all-pairs embedding near-dup via the banded LSH self-join

@@ -194,6 +194,33 @@ def test_ann_lsh_multiprobe_recall_and_candidates(spark):
     assert pairs0 <= pairs2 and len(pairs2) > len(pairs0)
 
 
+def test_ann_lsh_arrow_scorer_matches_catalyst(spark):
+    """The production Arrow scorer (numpy per-batch against the
+    closure-carried query matrix) must produce the same ranked top-k
+    as the oracle-mirrored Catalyst left-fold cosine, and cos values
+    within float ulps — the two paths differ only in FP summation
+    order (pairwise vs left-fold), never in candidates or semantics."""
+    emb = load_table(spark, SF, "embeddings")
+    nq, k = 8, 5
+    cat = {
+        (r["query_id"], r["rank"]): (r["cand_id"], r["cos_sim"])
+        for r in S.ann_lsh_topk(
+            emb, nq, k, 4, 8, 2, score_path="catalyst"
+        ).collect()
+    }
+    arw = {
+        (r["query_id"], r["rank"]): (r["cand_id"], r["cos_sim"])
+        for r in S.ann_lsh_topk(
+            emb, nq, k, 4, 8, 2, score_path="arrow"
+        ).collect()
+    }
+    assert cat.keys() == arw.keys()
+    for key, (cid, cos) in cat.items():
+        aid, acos = arw[key]
+        assert aid == cid, (key, cid, aid)
+        assert abs(acos - cos) < 1e-12, (key, cos, acos)
+
+
 def test_byte_features_numpy_oracle(spark):
     docs = load_table(spark, SF, "documents").limit(10)
     rows = docs.select("doc_id", "text").collect()
