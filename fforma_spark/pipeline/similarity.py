@@ -390,10 +390,24 @@ def _score_candidates_arrow(
     ``np.repeat`` against the closure-carried query matrix (Q·D floats
     — 512×64 ≈ 256 KB, so it needs no join at all). The q collect is
     control-plane bounded (Q rows, same convention as the IVF centroid
-    collect above). Float caveat: numpy's pairwise summation differs
-    from the oracle path's left-fold by ~1 ulp, so ranks can flip only
-    between effectively-tied candidates — the oracled driver row keeps
-    the fold-exact Catalyst scorer (`score_path='catalyst'`)."""
+    collect above).
+
+    In-batch arithmetic (profiled per 4096-row batch at the Q=4096×1M
+    leg, 445k pairs/batch): the dot products run as ONE dgemm per
+    ≤4 MB row-chunk against the queries present in the batch, then a
+    single (row, query) gather — 540→60 ms vs the materialize-both-
+    gathers elementwise form, because the gathered operands were ~700
+    MB of memory traffic per batch (that's also why 32 workers scaled
+    at only ~0.5: they share the memory controllers). The per-batch
+    top-k prunes with a scalar composite-key argsort to each query's
+    k-th cos VALUE, keeps ``cos >= kth`` (supersets ties, so it is
+    exact), and only lexsorts the ~Q·k survivors with the full
+    (cos desc, cand asc) tie-break — the window's exact ordering.
+
+    Float caveat: dgemm/pairwise summation differs from the oracle
+    path's left-fold by ~1 ulp, so ranks can flip only between
+    effectively-tied candidates — the oracled driver row keeps the
+    fold-exact Catalyst scorer (`score_path='catalyst'`)."""
     import numpy as np
     import pandas as pd
 
@@ -437,7 +451,22 @@ def _score_candidates_arrow(
             rep, qflat = np.divmod(uniq, np.int64(nq))
             E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
             cnorm = np.sqrt((E * E).sum(axis=1))
-            num = (E[rep] * qmat[qflat]).sum(axis=1)
+            # dgemm against the queries PRESENT in this batch, chunked
+            # so the similarity block stays ≤4 MB (cache-resident on a
+            # 4-core/16 GB executor too); rep is sorted (np.unique),
+            # so each chunk's pair slice is contiguous
+            uq = np.unique(qflat)
+            qsub = qmat[uq].T
+            pos_in_uq = np.searchsorted(uq, qflat)
+            rows_per_chunk = max(1, (4 << 20) // (8 * max(len(uq), 1)))
+            num = np.empty(len(rep), dtype=np.float64)
+            lo = 0
+            for r0 in range(0, len(pdf), rows_per_chunk):
+                r1 = min(r0 + rows_per_chunk, len(pdf))
+                hi = int(np.searchsorted(rep, r1, side="left"))
+                m = E[r0:r1] @ qsub
+                num[lo:hi] = m[rep[lo:hi] - r0, pos_in_uq[lo:hi]]
+                lo = hi
             cand = pdf["cand_id"].to_numpy()[rep]
             cos = num / (cnorm[rep] * qnorm[qflat])
             if k is not None and len(cos):
@@ -446,19 +475,38 @@ def _score_candidates_arrow(
                 # top-ks (anything pruned here loses to ≥k better rows
                 # of the same query downstream too), so the rank window
                 # sees ~batches·Q·k rows instead of every scored pair —
-                # 90M → ~4M Arrow-out rows at the Q=4096×1M leg. Sort
-                # keys mirror the window's exact ordering (cos desc,
-                # cand_id asc) so tie-break parity with the Catalyst
-                # path is preserved.
-                order = np.lexsort((cand, -cos, qflat))
+                # 90M → ~4M Arrow-out rows at the Q=4096×1M leg.
+                # Two-phase exact top-k: a scalar composite key
+                # (query asc, cos desc — query spacing 4.0 > the cos
+                # range) finds each query's k-th cos VALUE cheaply,
+                # `cos >= kth` keeps a superset of the true top-k
+                # (boundary ties included), and the expensive 3-key
+                # lexsort with the window's exact (cos desc, cand asc)
+                # tie-break runs only on the ~Q·k survivors.
+                order = np.argsort(qflat * 4.0 - cos)
                 qs = qflat[order]
-                starts = np.flatnonzero(
-                    np.r_[True, qs[1:] != qs[:-1]]
+                starts = np.flatnonzero(np.r_[True, qs[1:] != qs[:-1]])
+                seg_len = np.diff(np.r_[starts, len(qs)])
+                kth_idx = order[starts + np.minimum(seg_len - 1, k - 1)]
+                kth = np.full(nq, -np.inf)
+                kth[qflat[kth_idx]] = cos[kth_idx]
+                # the composite key's ulp at 4·nq (~2e-12 at nq=4096)
+                # can blur cos near-ties, so the k-th BY KEY may sit a
+                # few ulps above the true k-th cos — widen the keep
+                # threshold by 4 key-ulps so the prune stays a strict
+                # superset of the true top-k (phase 2 trims exactly)
+                eps = 4.0 * nq * np.finfo(np.float64).eps
+                cand_keep = np.flatnonzero(cos >= kth[qflat] - eps)
+                sq, sc, scc = (
+                    qflat[cand_keep], cos[cand_keep], cand[cand_keep]
                 )
-                pos = np.arange(len(qs)) - np.repeat(
-                    starts, np.diff(np.r_[starts, len(qs)])
+                o2 = np.lexsort((scc, -sc, sq))
+                qs2 = sq[o2]
+                st2 = np.flatnonzero(np.r_[True, qs2[1:] != qs2[:-1]])
+                p2 = np.arange(len(qs2)) - np.repeat(
+                    st2, np.diff(np.r_[st2, len(qs2)])
                 )
-                keep = order[pos < k]
+                keep = cand_keep[o2[p2 < k]]
                 qflat, cand, cos = qflat[keep], cand[keep], cos[keep]
             yield pd.DataFrame(
                 {

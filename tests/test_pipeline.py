@@ -221,6 +221,43 @@ def test_ann_lsh_arrow_scorer_matches_catalyst(spark):
         assert abs(acos - cos) < 1e-12, (key, cos, acos)
 
 
+def test_ann_lsh_arrow_scorer_exact_tie_break(spark):
+    """Engineered exact cos ties: 24 candidates carry the SAME vector
+    (cos = 1.0 to the identical query), so the top-k is decided purely
+    by the (cos desc, cand_id asc) tie-break. The Arrow scorer's
+    two-phase top-k (composite-key prune to the k-th value, then exact
+    lexsort on the boundary-tie superset) must keep the LOWEST tied
+    cand_ids and agree with the Catalyst window exactly."""
+    import pandas as pd
+
+    base = [float(i % 7 - 3) / 4.0 + 0.25 for i in range(64)]
+    other = [float((i * 3) % 5 - 2) / 3.0 for i in range(64)]
+    rows = [(0, base)]
+    rows += [(1 + i, list(base)) for i in range(24)]  # exact ties
+    rows += [(25 + i, list(other)) for i in range(8)]
+    emb = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    )
+    nq, k = 1, 6
+    cat = [
+        (r["rank"], r["cand_id"], r["cos_sim"])
+        for r in S.ann_lsh_topk(
+            emb, nq, k, 4, 8, 1, score_path="catalyst"
+        ).collect()
+    ]
+    arw = [
+        (r["rank"], r["cand_id"], r["cos_sim"])
+        for r in S.ann_lsh_topk(
+            emb, nq, k, 4, 8, 1, score_path="arrow"
+        ).collect()
+    ]
+    assert [c[:2] for c in cat] == [a[:2] for a in arw]
+    # ties resolved to the smallest cand_ids, in order
+    assert [c[1] for c in cat] == [1, 2, 3, 4, 5, 6]
+    for (_, _, c), (_, _, a) in zip(cat, arw):
+        assert abs(c - a) < 1e-12
+
+
 def test_byte_features_numpy_oracle(spark):
     docs = load_table(spark, SF, "documents").limit(10)
     rows = docs.select("doc_id", "text").collect()
