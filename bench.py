@@ -342,12 +342,18 @@ PROBE_BAND = tuple(
 
 def _probe() -> dict:
     repo = os.path.dirname(os.path.abspath(__file__))
-    proc = subprocess.run(
-        [sys.executable, os.path.join(repo, "scripts", "host_calibration.py"),
-         "--batched"],
-        capture_output=True, text=True, check=True,
-    )
-    full = json.loads(proc.stdout.strip().splitlines()[-1])
+    try:
+        proc = subprocess.run(
+            [sys.executable,
+             os.path.join(repo, "scripts", "host_calibration.py"),
+             "--batched"],
+            capture_output=True, text=True, check=True,
+        )
+        full = json.loads(proc.stdout.strip().splitlines()[-1])
+    except Exception as exc:  # noqa: BLE001 — a dead probe must not
+        # kill the bench: treat it as an out-of-band window so the
+        # retry / forced-run paths still guarantee ONE JSON line
+        return {"in_band": False, "error": repr(exc)[:200]}
     r = full["throughput_speedup_8_to_32"]
     return {
         "throughput_speedup_8_to_32": r,
@@ -388,8 +394,16 @@ def run_gated() -> dict:
             None,
         )
         if proc.returncode != 0 or line is None:
+            # a transiently-dead subprocess is a failed ATTEMPT, not a
+            # dead bench — record it and retry; the forced fallback
+            # below still raises if no attempt ever produces a line
             sys.stderr.write(proc.stderr[-4000:])
-            raise RuntimeError("bench subprocess failed")
+            tried.append({
+                "attempt": i + 1, "pre": pre, "failed": True,
+                "returncode": proc.returncode,
+            })
+            time.sleep(30)
+            continue
         result = json.loads(line)
         post = _probe()
         tried.append({
