@@ -424,9 +424,22 @@ def run_gated() -> dict:
             # driver always gets a bench line, flag it
             proc = subprocess.run(
                 [sys.executable, os.path.join(repo, "bench.py"), "--once"],
-                capture_output=True, text=True, check=True,
+                capture_output=True, text=True,
             )
-            accepted = json.loads(proc.stdout.strip().splitlines()[-1])
+            line = next(
+                (
+                    ln for ln in reversed(proc.stdout.strip().splitlines())
+                    if ln.startswith("{")
+                ),
+                None,
+            )
+            if proc.returncode != 0 or line is None:
+                sys.stderr.write(proc.stderr[-4000:])
+                raise RuntimeError(
+                    "bench subprocess produced no JSON line in any "
+                    "attempt (forced run rc=%d)" % proc.returncode
+                )
+            accepted = json.loads(line)
             tried.append({"attempt": "forced", "value": accepted["value"]})
         else:
             accepted = min(runs, key=lambda t: t["value"])["_full"]
