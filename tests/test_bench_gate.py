@@ -76,6 +76,31 @@ def test_failed_bench_attempt_retries_then_accepts(bench_mod, monkeypatch):
     assert calls["bench"] == 2
 
 
+def test_no_clean_window_picks_best_attempt_flagged(bench_mod, monkeypatch):
+    """Every pre-probe is in-band but every post-probe is out-of-band
+    (a window that degrades mid-bench, three times): run_gated must
+    return the LOWEST-value attempt and flag the gate out-of-band."""
+    values = iter([7.7, 5.5, 6.6])
+    probes = iter([3.0, 1.0] * 3)  # pre in-band, post out-of-band, x3
+
+    def fake_run(cmd, **kw):
+        if "host_calibration.py" in " ".join(cmd):
+            return _fake_proc(stdout=json.dumps({
+                "throughput_speedup_8_to_32": next(probes),
+                "throughput_efficiency": 0.5,
+            }))
+        return _fake_proc(stdout=json.dumps(
+            {"metric": "wall", "value": next(values), "unit": "sec"}
+        ) + "\n")
+
+    monkeypatch.setattr(bench_mod.subprocess, "run", fake_run)
+    out = bench_mod.run_gated()
+    assert out["value"] == 5.5
+    gate = out["probe_gate"]
+    assert gate["in_band"] is False
+    assert [t["value"] for t in gate["attempts"]] == [7.7, 5.5, 6.6]
+
+
 def test_all_probes_dead_still_emits_one_result(bench_mod, monkeypatch):
     """Every probe crashing = every window out-of-band: the forced
     fallback still produces a flagged result line."""
