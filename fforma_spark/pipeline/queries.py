@@ -4,8 +4,8 @@ Imported (for side effects) by fforma_spark.queries — every entry lands
 in the same QUERIES/ORACLES dicts the driver reads.
 
 Round-3 restructure: near-duplicate registrations are merged so the
-whole surface (49 queries) fits inside the driver's 50-query
-correctness window — every dedup/similarity/multimodal operator now
+whole surface (50 queries as of round 5, with ``embedding_neardup_lsh``)
+fits inside the driver's 50-query correctness window — every dedup/similarity/multimodal operator now
 gets a driver oracle row:
 * langid/quality/token_counts/fingerprint → ``text_stats_documents``
   (one scan instead of four);
