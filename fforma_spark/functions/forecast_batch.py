@@ -1,0 +1,236 @@
+"""Length-batched twins of the per-series forecast models.
+
+`models._forecast_batches` used to loop docs in Python, and the
+optimized-alpha SES models (croston_opt / adida / imapa, via
+``optimize_alpha``'s golden-section over a pure-Python ``ses_run``
+recurrence) dominated the whole ensemble_rollup bench query (~5 ms per
+doc, 84% inside ses_mse — measured in OPTIMIZATION_r06.md). Here the
+same math runs vectorized across all docs of one (train-length,
+seasonality, horizon) group: recurrences loop over TIME with numpy
+vector ops over the doc axis (guide §4.2 — hand whole batches to
+vectorized native code).
+
+Bit-identity contract (tests/test_forecast_batch.py pins exact float
+equality vs :func:`models.forecast_series` per doc):
+
+- elementwise float64 numpy ops round identically to the scalar ops
+  they replace (IEEE-754, no FMA contraction in numpy ufuncs);
+- ``np.mean(..., axis=1)`` over a C-contiguous matrix applies the same
+  pairwise summation per row as the 1-D ``np.mean`` the scalar kernels
+  use (asserted empirically by the tests);
+- the golden-section control flow is replicated per doc with masks:
+  each doc takes exactly the bracketing decisions and the early-break
+  iteration count it would take scalar;
+- Naive2's seasonal indices keep the pandas-rolling ORIGINAL
+  (kernels.seasonal_indices) per doc when seasonality > 1 — its fast
+  cumsum twin is ulp-different (kernels.py note) and Naive2 is pinned
+  bit-for-bit to the reference. At seasonality == 1 (every driver
+  dataset: digit doc prefixes) the indices are exactly ones(1) and the
+  whole model stays batched.
+
+Docs whose train series contains a non-positive value fall back to the
+scalar :func:`models.forecast_series` — the intermittent-demand models
+(croston/tsb/adida/imapa) become ragged across docs there (per-doc
+demand/interval lengths), and the fallback is the very code the batch
+path is pinned against.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from fforma_spark.functions import kernels as K
+
+_INVPHI = (math.sqrt(5) - 1) / 2
+
+
+def ses_last_matrix(alpha, Y: np.ndarray) -> np.ndarray:
+    """Final SES level per row — batched ``K.ses_run(alpha, y)[1]``.
+
+    ``alpha`` is a scalar or a (B,) vector (per-doc optimal alphas).
+    """
+    one_m = 1.0 - alpha
+    level = Y[:, 0].copy()
+    for i in range(Y.shape[1]):
+        level = alpha * Y[:, i] + one_m * level
+    return level
+
+
+def ses_mse_matrix(alpha: np.ndarray, Y: np.ndarray) -> np.ndarray:
+    """Batched ``K.ses_mse`` — in-sample one-step MSE per row, with the
+    fitted series materialized so the mean reduction matches the scalar
+    ``np.mean((fitted - x) ** 2)`` bit-for-bit."""
+    B, n = Y.shape
+    one_m = 1.0 - alpha
+    fitted = np.empty((B, n))
+    level = Y[:, 0].copy()
+    for i in range(n):
+        fitted[:, i] = level
+        level = alpha * Y[:, i] + one_m * level
+    return np.mean((fitted - Y) ** 2, axis=1)
+
+
+def optimize_alpha_matrix(
+    Y: np.ndarray, lo: float = 0.1, hi: float = 0.3
+) -> np.ndarray:
+    """Batched golden-section ``K.optimize_alpha`` (the scipy-less
+    branch). Each doc follows its own bracketing decisions and its own
+    early-break (b-a < 1e-9) via an active mask, so the returned alpha
+    is the scalar function's alpha exactly.
+
+    If scipy is importable the scalar function would use L-BFGS-B
+    instead; delegate per doc to keep results identical in that
+    environment (not the sandbox: scipy is absent there).
+    """
+    if K._scipy_minimize is not None:  # pragma: no cover — no scipy here
+        return np.array([K.optimize_alpha(y, lo, hi) for y in Y])
+    B = Y.shape[0]
+    a = np.full(B, float(lo))
+    b = np.full(B, float(hi))
+    c = b - _INVPHI * (b - a)
+    d = a + _INVPHI * (b - a)
+    fc = ses_mse_matrix(c, Y)
+    fd = ses_mse_matrix(d, Y)
+    active = np.ones(B, dtype=bool)
+    for _ in range(60):
+        idx = np.flatnonzero(active)
+        if idx.size == 0:
+            break
+        cond = fc[idx] < fd[idx]
+        i1 = idx[cond]
+        i2 = idx[~cond]
+        # if fc < fd: b,d,fd = d,c,fc ; c = b - invphi*(b-a); fc = mse(c)
+        b[i1] = d[i1]
+        d[i1] = c[i1]
+        fd[i1] = fc[i1]
+        c[i1] = b[i1] - _INVPHI * (b[i1] - a[i1])
+        if i1.size:
+            fc[i1] = ses_mse_matrix(c[i1], Y[i1])
+        # else:     a,c,fc = c,d,fd ; d = a + invphi*(b-a); fd = mse(d)
+        a[i2] = c[i2]
+        c[i2] = d[i2]
+        fc[i2] = fd[i2]
+        d[i2] = a[i2] + _INVPHI * (b[i2] - a[i2])
+        if i2.size:
+            fd[i2] = ses_mse_matrix(d[i2], Y[i2])
+        active[idx] = (b[idx] - a[idx]) >= 1e-9
+    return (a + b) / 2
+
+
+def tsb_matrix(Y: np.ndarray, h: int) -> np.ndarray:
+    """Batched ``K.tsb`` for strictly-positive rows.
+
+    With every value nonzero, probability(y) is all ones, so the
+    scalar's pfit recurrence is exactly 1.0 at every step
+    (p0 = 1; 1 + a*(1-1) = 1), yfit = pfit*zfit = zfit exactly, and
+    the 9x7 (alpha, beta) grid collapses to the 7 beta columns: mse is
+    identical for every alpha at fixed beta, so the scalar's
+    first-occurrence argmin lands in the first alpha block at the first
+    best beta — reproduced here by argmin over the beta axis alone.
+    """
+    assert (Y > 0).all(), "tsb_matrix requires strictly-positive rows"
+    B, n = Y.shape
+    b_grid = np.array([0.01, 0.02, 0.03, 0.05, 0.1, 0.2, 0.3])
+    g = b_grid.size
+    zfit = np.empty((B, g, n))
+    zfit[:, :, 0] = Y[:, 0, None]
+    for i in range(1, n):
+        zfit[:, :, i] = zfit[:, :, i - 1] + b_grid * (
+            Y[:, i, None] - zfit[:, :, i - 1]
+        )
+    shifted = np.concatenate(
+        [np.full((B, g, 1), np.nan), zfit[:, :, :-1]], axis=2
+    )
+    mse = np.nanmean((shifted - Y[:, None, :]) ** 2, axis=2)
+    best = np.argmin(mse, axis=1)
+    fc = zfit[np.arange(B), best, -1]
+    return np.repeat(fc[:, None], h, axis=1)
+
+
+def _snaive_matrix(Y: np.ndarray, h: int, s: int) -> np.ndarray:
+    """Batched ``K.seasonal_naive`` — tile the last season per row."""
+    tail = Y[:, -s:] if s < Y.shape[1] else Y
+    reps = int(np.ceil(h / tail.shape[1]))
+    return np.tile(tail, (1, reps))[:, :h]
+
+
+def forecast_group_matrix(
+    Y: np.ndarray, h: int, s: int
+) -> dict[str, np.ndarray]:
+    """All 14 model forecasts for a (train-length, seasonality,
+    horizon) group of strictly-positive series — batched twin of
+    :func:`models.forecast_series` row by row. Returns model name (no
+    ``_forec`` suffix) -> (B, h) float64."""
+    B, n = Y.shape
+    out: dict[str, np.ndarray] = {}
+    last = Y[:, -1]
+
+    def _full(v: np.ndarray) -> np.ndarray:
+        return np.repeat(v[:, None], h, axis=1)
+
+    out["naive"] = _full(last)
+    out["snaive"] = _snaive_matrix(Y, h, s)
+
+    # naive2: deseasonalize -> naive -> reseasonalize. seasonality==1
+    # short-circuits to ones(1) exactly (kernels.seasonal_indices);
+    # otherwise the pandas-path scalar per doc (see module docstring).
+    if s <= 1:
+        si = np.ones((B, 1))
+    else:
+        si = np.stack([K.seasonal_indices(y, s) for y in Y])
+    windows = int(np.ceil(n / s))
+    s_hat = np.tile(si, (1, windows))[:, :n]
+    ts_des = Y / s_hat
+    s_fc = _snaive_matrix(s_hat, h, s)
+    out["naive2"] = s_fc * ts_des[:, -1][:, None]
+
+    if n > 1:
+        drift = (last - Y[:, 0]) / (n - 1)
+    else:
+        drift = np.zeros(B)
+    out["rw_drift"] = last[:, None] + drift[:, None] * np.arange(
+        1, h + 1, dtype=np.float64
+    )
+
+    out["average"] = _full(np.mean(Y, axis=1))
+    n_obs = min(2, n)
+    out["mavg"] = _full(np.mean(Y[:, -n_obs:], axis=1))
+
+    if n >= 2 * s:
+        tail = Y[:, -(s * 2):]
+        season_vals = np.mean(tail.reshape(B, 2, s), axis=1)
+        out["smavg"] = season_vals[:, np.arange(h) % s]
+    else:
+        out["smavg"] = out["average"]
+
+    ses10 = ses_last_matrix(0.1, Y)
+    out["ses"] = _full(ses10)
+
+    # Intermittent-demand family, strictly-positive invariant:
+    # demand(y) == y (same floats), intervals(y) == ones(n), so the
+    # interval-side SES runs on all-ones series. Those are computed
+    # with the SCALAR kernels per group (one call, n steps) and applied
+    # as scalar divisors — bit-identical to the per-doc path.
+    ones_n = np.ones(n)
+    _, yip_cl = K.ses_run(0.1, ones_n)
+    out["croston"] = _full(ses10 / yip_cl * 1.0)
+    out["croston_sba"] = _full(ses10 / yip_cl * 0.95)
+
+    alpha_opt = optimize_alpha_matrix(Y)
+    a2 = K.optimize_alpha(ones_n)
+    _, yip_opt = K.ses_run(a2, ones_n)
+    ses_opt = ses_last_matrix(alpha_opt, Y)
+    out["croston_opt"] = _full(ses_opt / yip_opt * 1.0)
+
+    out["tsb"] = tsb_matrix(Y, h)
+
+    # adida / imapa, strictly-positive: mean interval is exactly 1.0 ->
+    # one aggregation level of width 1, whose bucket sums are y itself
+    # (single-element reductions), so both reduce to the optimal-alpha
+    # SES forecast divided by al == 1 (exact), and imapa's mean over
+    # one level is that same value (exact).
+    out["adida"] = _full(ses_opt / 1)
+    out["imapa"] = out["adida"].copy()
+    return out

@@ -88,31 +88,71 @@ def _split(tokens: np.ndarray, h: int) -> tuple[np.ndarray, np.ndarray]:
 def _forecast_batches(
     it: Iterator[pd.DataFrame], h_by_prefix: dict[str, int], default_h: int
 ) -> Iterator[pd.DataFrame]:
+    """Batch engine for :func:`base_forecasts`.
+
+    Docs are grouped by (train-length, seasonality, horizon) and each
+    group runs through the vectorized
+    :func:`forecast_batch.forecast_group_matrix` — bit-identical to the
+    original per-doc :func:`forecast_series` loop (pinned by
+    tests/test_forecast_batch.py) and ~100x cheaper on the
+    optimized-alpha models. Docs whose train series contains a
+    non-positive value keep the per-doc scalar path (ragged
+    intermittent-demand shapes). Row order (doc order as received, pos
+    ascending within doc) is preserved exactly.
+    """
+    from fforma_spark.functions.forecast_batch import forecast_group_matrix
+
     cols = ["doc_id", "pos", *FORECAST_COLS]
     for pdf in it:
-        frames = []
+        kept_ids: list = []
+        kept_train: list[np.ndarray] = []
+        kept_h: list[int] = []
+        groups: dict[tuple[int, int, int, bool], list[int]] = {}
         for doc_id, tokens in zip(pdf["doc_id"], pdf["tokens"]):
-            s = SEASONALITY_BY_PREFIX.get(str(doc_id)[:1], 1)
-            h = h_by_prefix.get(str(doc_id)[:1], default_h)
+            pfx = str(doc_id)[:1]
+            s = SEASONALITY_BY_PREFIX.get(pfx, 1)
+            h = h_by_prefix.get(pfx, default_h)
             y = np.asarray(tokens, dtype=np.float64)
             if len(y) <= h:  # too short to split — skip (min-length filter
                 continue  # analog: fforma/utils/utils.py:44-52)
             train, _ = _split(y, h)
-            fc = forecast_series(train, h, s)
-            frames.append(
-                pd.DataFrame(
-                    {
-                        "doc_id": doc_id,
-                        "pos": np.arange(h, dtype=np.int64),
-                        **{c: fc[c] for c in FORECAST_COLS},
-                    }
-                )
-            )
-        yield (
-            pd.concat(frames, ignore_index=True)[cols]
-            if frames
-            else pd.DataFrame(columns=cols)
-        )
+            k = len(kept_ids)
+            kept_ids.append(doc_id)
+            kept_train.append(train)
+            kept_h.append(h)
+            fast = bool(np.all(train > 0))
+            groups.setdefault((len(train), s, h, fast), []).append(k)
+        if not kept_ids:
+            yield pd.DataFrame(columns=cols)
+            continue
+        h_arr = np.asarray(kept_h, dtype=np.int64)
+        offsets = np.concatenate([[0], np.cumsum(h_arr)])
+        total = int(offsets[-1])
+        out_cols = {c: np.empty(total, dtype=np.float64) for c in FORECAST_COLS}
+        for (n, s, h, fast), rows in groups.items():
+            idx = np.asarray(rows, dtype=np.int64)
+            dest = (offsets[idx][:, None] + np.arange(h)).ravel()
+            if fast:
+                Y = np.stack([kept_train[k] for k in rows])
+                fc = forecast_group_matrix(Y, h, s)
+                for m, mat in fc.items():
+                    out_cols[f"{m}_forec"][dest] = mat.ravel()
+            else:  # scalar fallback: non-positive values present
+                for k in rows:
+                    fc1 = forecast_series(kept_train[k], h, s)
+                    lo = int(offsets[k])
+                    for c in FORECAST_COLS:
+                        out_cols[c][lo : lo + h] = fc1[c]
+        pos = np.arange(total, dtype=np.int64) - np.repeat(offsets[:-1], h_arr)
+        yield pd.DataFrame(
+            {
+                "doc_id": np.repeat(
+                    np.asarray(kept_ids, dtype=object), h_arr
+                ),
+                "pos": pos,
+                **out_cols,
+            }
+        )[cols]
 
 
 # horizon convention per M4 group (fforma/utils/m4_data.py:14-25)
