@@ -119,6 +119,102 @@ def optimize_alpha_matrix(
     return (a + b) / 2
 
 
+def optimize_alpha_ragged(
+    Ys: list[np.ndarray], lo: float = 0.1, hi: float = 0.3
+) -> list[np.ndarray]:
+    """One golden-section pass over MANY length groups at once.
+
+    Per-group :func:`optimize_alpha_matrix` pays ~40 iterations x 2
+    recurrence sweeps PER GROUP; at production task shapes (~1.5k docs
+    over ~90 distinct train lengths) that is overhead-bound. Here every
+    group's rows are packed into one zero-padded matrix: each iteration
+    runs ONE recurrence sweep to max(n) (elementwise ops never mix
+    rows, so the padded tail of a short row cannot perturb it) and the
+    per-row MSE mean reduces over exactly that row's n columns (the
+    inner axis of a column slice stays contiguous, so numpy's pairwise
+    summation matches the unpadded row bit-for-bit). Returns per-group
+    alpha vectors identical to the scalar ``K.optimize_alpha`` per row.
+    """
+    if K._scipy_minimize is not None:  # pragma: no cover — no scipy here
+        return [
+            np.array([K.optimize_alpha(y, lo, hi) for y in Y]) for Y in Ys
+        ]
+    sizes = [Y.shape[0] for Y in Ys]
+    ns = [Y.shape[1] for Y in Ys]
+    B = sum(sizes)
+    nmax = max(ns)
+    P = np.zeros((B, nmax))
+    slices: list[tuple[int, int, int]] = []
+    off = 0
+    for Y, bsz, n in zip(Ys, sizes, ns):
+        P[off : off + bsz, :n] = Y
+        slices.append((off, off + bsz, n))
+        off += bsz
+    fitted = np.empty((B, nmax))
+
+    def mse_all(alpha: np.ndarray) -> np.ndarray:
+        one_m = 1.0 - alpha
+        level = P[:, 0].copy()
+        for i in range(nmax):
+            fitted[:, i] = level
+            level = alpha * P[:, i] + one_m * level
+        out = np.empty(B)
+        for g0, g1, n in slices:
+            out[g0:g1] = np.mean(
+                (fitted[g0:g1, :n] - P[g0:g1, :n]) ** 2, axis=1
+            )
+        return out
+
+    a = np.full(B, float(lo))
+    b = np.full(B, float(hi))
+    c = b - _INVPHI * (b - a)
+    d = a + _INVPHI * (b - a)
+    fc = mse_all(c)
+    fd = mse_all(d)
+    active = np.ones(B, dtype=bool)
+    for _ in range(60):
+        if not active.any():
+            break
+        cond = fc < fd
+        u1 = active & cond
+        u2 = active & ~cond
+        # if fc < fd: b,d,fd = d,c,fc ; c = b - invphi*(b-a); fc = mse(c)
+        b[u1] = d[u1]
+        d[u1] = c[u1]
+        fd[u1] = fc[u1]
+        c[u1] = b[u1] - _INVPHI * (b[u1] - a[u1])
+        # else:       a,c,fc = c,d,fd ; d = a + invphi*(b-a); fd = mse(d)
+        a[u2] = c[u2]
+        c[u2] = d[u2]
+        fc[u2] = fd[u2]
+        d[u2] = a[u2] + _INVPHI * (b[u2] - a[u2])
+        f_new = mse_all(np.where(cond, c, d))
+        fc[u1] = f_new[u1]
+        fd[u2] = f_new[u2]
+        active &= (b - a) >= 1e-9
+    alphas = (a + b) / 2
+    return [alphas[g0:g1] for g0, g1, _n in slices]
+
+
+#: pure-function memo keyed on train length: SES constants of the
+#: ALL-ONES interval series that the strictly-positive croston variants
+#: divide by. Deterministic in n (no data dependence), so caching them
+#: across batches/tasks is a function cache, not a result memo.
+_ONES_SES: dict[int, tuple[float, float]] = {}
+
+
+def _ones_ses_constants(n: int) -> tuple[float, float]:
+    """(yip at alpha=0.1, yip at the optimized alpha) for ones(n)."""
+    got = _ONES_SES.get(n)
+    if got is None:
+        ones_n = np.ones(n)
+        _, yip_cl = K.ses_run(0.1, ones_n)
+        _, yip_opt = K.ses_run(K.optimize_alpha(ones_n), ones_n)
+        got = (yip_cl, yip_opt)
+        _ONES_SES[n] = got
+    return got
+
+
 def tsb_matrix(Y: np.ndarray, h: int) -> np.ndarray:
     """Batched ``K.tsb`` for strictly-positive rows.
 
@@ -157,12 +253,14 @@ def _snaive_matrix(Y: np.ndarray, h: int, s: int) -> np.ndarray:
 
 
 def forecast_group_matrix(
-    Y: np.ndarray, h: int, s: int
+    Y: np.ndarray, h: int, s: int, alpha_opt: np.ndarray | None = None
 ) -> dict[str, np.ndarray]:
     """All 14 model forecasts for a (train-length, seasonality,
     horizon) group of strictly-positive series — batched twin of
     :func:`models.forecast_series` row by row. Returns model name (no
-    ``_forec`` suffix) -> (B, h) float64."""
+    ``_forec`` suffix) -> (B, h) float64. ``alpha_opt`` takes the
+    group's per-doc optimal SES alphas when the caller already pooled
+    them (:func:`optimize_alpha_ragged`)."""
     B, n = Y.shape
     out: dict[str, np.ndarray] = {}
     last = Y[:, -1]
@@ -213,14 +311,12 @@ def forecast_group_matrix(
     # interval-side SES runs on all-ones series. Those are computed
     # with the SCALAR kernels per group (one call, n steps) and applied
     # as scalar divisors — bit-identical to the per-doc path.
-    ones_n = np.ones(n)
-    _, yip_cl = K.ses_run(0.1, ones_n)
+    yip_cl, yip_opt = _ones_ses_constants(n)
     out["croston"] = _full(ses10 / yip_cl * 1.0)
     out["croston_sba"] = _full(ses10 / yip_cl * 0.95)
 
-    alpha_opt = optimize_alpha_matrix(Y)
-    a2 = K.optimize_alpha(ones_n)
-    _, yip_opt = K.ses_run(a2, ones_n)
+    if alpha_opt is None:
+        alpha_opt = optimize_alpha_matrix(Y)
     ses_opt = ses_last_matrix(alpha_opt, Y)
     out["croston_opt"] = _full(ses_opt / yip_opt * 1.0)
 

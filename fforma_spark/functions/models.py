@@ -129,20 +129,35 @@ def _forecast_batches(
         offsets = np.concatenate([[0], np.cumsum(h_arr)])
         total = int(offsets[-1])
         out_cols = {c: np.empty(total, dtype=np.float64) for c in FORECAST_COLS}
-        for (n, s, h, fast), rows in groups.items():
+        # pool the optimized-alpha golden-section across ALL fast
+        # groups (one padded recurrence sweep per iteration instead of
+        # one per length group — forecast_batch.optimize_alpha_ragged)
+        from fforma_spark.functions.forecast_batch import optimize_alpha_ragged
+
+        fast_items = [
+            (key, rows, np.stack([kept_train[k] for k in rows]))
+            for key, rows in groups.items()
+            if key[3]
+        ]
+        alphas = (
+            optimize_alpha_ragged([Y for _, _, Y in fast_items])
+            if fast_items
+            else []
+        )
+        for ((n, s, h, _fast), rows, Y), al in zip(fast_items, alphas):
             idx = np.asarray(rows, dtype=np.int64)
             dest = (offsets[idx][:, None] + np.arange(h)).ravel()
+            fc = forecast_group_matrix(Y, h, s, alpha_opt=al)
+            for m, mat in fc.items():
+                out_cols[f"{m}_forec"][dest] = mat.ravel()
+        for (n, s, h, fast), rows in groups.items():
             if fast:
-                Y = np.stack([kept_train[k] for k in rows])
-                fc = forecast_group_matrix(Y, h, s)
-                for m, mat in fc.items():
-                    out_cols[f"{m}_forec"][dest] = mat.ravel()
-            else:  # scalar fallback: non-positive values present
-                for k in rows:
-                    fc1 = forecast_series(kept_train[k], h, s)
-                    lo = int(offsets[k])
-                    for c in FORECAST_COLS:
-                        out_cols[c][lo : lo + h] = fc1[c]
+                continue  # handled above
+            for k in rows:  # scalar fallback: non-positive values present
+                fc1 = forecast_series(kept_train[k], h, s)
+                lo = int(offsets[k])
+                for c in FORECAST_COLS:
+                    out_cols[c][lo : lo + h] = fc1[c]
         pos = np.arange(total, dtype=np.int64) - np.repeat(offsets[:-1], h_arr)
         yield pd.DataFrame(
             {

@@ -182,3 +182,19 @@ def test_mean_axis1_pairwise_identity():
         assert np.array_equal(
             np.mean(X, axis=1), np.array([np.mean(x) for x in X])
         )
+
+
+def test_optimize_alpha_ragged_matches_scalar():
+    """The pooled multi-length golden-section must equal per-row scalar
+    optimize_alpha exactly (padding must never leak across rows)."""
+    from fforma_spark.functions.forecast_batch import optimize_alpha_ragged
+
+    rng = np.random.default_rng(18)
+    Ys = [
+        rng.integers(1, 15, size=(b, n)).astype(np.float64)
+        for b, n in [(1, 2), (7, 3), (33, 54), (5, 100), (2, 17)]
+    ]
+    got = optimize_alpha_ragged(Ys)
+    for Y, al in zip(Ys, got):
+        want = np.array([K.optimize_alpha(y) for y in Y])
+        assert np.array_equal(al, want), Y.shape
