@@ -78,7 +78,17 @@ def sequences_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     Mirrors the reference's wide/"horizontal" panel form
     (fforma/utils/reshaping.py:12-40).
     """
-    docs = load_table(spark, sf_dir, "documents")
+    from fforma_spark.util import ensure_parallelism
+
+    # The driver parquet files carry ONE row group, so the scan arrives
+    # as a single split and everything up to the first exchange —
+    # including this tokenization — would run on one core. Repartition
+    # straight after the read (optimization guide §2.5, unsplittable
+    # input) so tokenization parallelizes and a cache of this table is
+    # already distribution-ready for the mapInPandas fabrics (their own
+    # ensure_parallelism then no-ops). At production scale scans have
+    # many splits and this is a no-op.
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     toks = F.transform(F.split(F.col("text"), " "), lambda w: F.length(w))
     return docs.select(
         F.col("doc_id").cast("string").alias("doc_id"),
