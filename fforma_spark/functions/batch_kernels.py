@@ -755,13 +755,17 @@ def heterogeneity_matrix(
 #:                          scalar amortizes its dispatch over n):
 #:                          scalar above MAX_SMALL_BATCH_LEN.
 #:   rows ≥ 16            → 1.1–6.6× at EVERY length: batched.
-#: MIN_BATCH_LEN stays a CORRECTNESS floor, not a perf choice: the
-#: batched twins assume the decomposition/acf guards n ≥ 20 provides
-#: (short groups also measured batched-favorable at n=8, 1.4–6.6×,
-#: but exploiting that requires extending the twin's short-n guard
-#: coverage first — closed as not-worth-it: short series cost ~1 ms).
+#: MIN_BATCH_LEN was a CORRECTNESS floor of 20 through round 5 (the
+#: twins' short-n guard coverage was unproven). Round 6 audited the
+#: full short-length surface (s in {1..8,12,24,52} x n in 2..30 x
+#: adversarial shapes, tests/test_features_short.py): the one real
+#: divergence was the e_acf span-2 zero-gate (fixed above — it also
+#: silently mis-batched n == ppy+1 at n >= 20, e.g. (24,25)), after
+#: which the twins are bit-exact from n == 2. The floor is now the
+#: algebraic minimum; short groups were already measured
+#: batched-favorable (1.4-6.6x at n=8) in the r5 crossover grid.
 MIN_BATCH_ROWS = 3
-MIN_BATCH_LEN = 20
+MIN_BATCH_LEN = 2
 #: rows=3–15 groups longer than this take the scalar path (measured
 #: 0.76–0.9× batched at n=2000 for small groups)
 MAX_SMALL_BATCH_LEN = 512
@@ -887,11 +891,18 @@ def _feature_matrix_block(
         d2r = (R - R.mean(axis=1)[:, None]) ** 2
         varloo = (v[:, None] * (nL - 1) - d2r) / (nL - 2)
         out["spike"] = np.var(varloo, axis=1, ddof=1)
+    else:
+        out["spike"] = np.zeros(B)
+    # e_acf gates on the REMAINDER length, not 3: the scalar path runs
+    # acf_vector over however many non-NaN remainder points exist
+    # whenever n >= 3, and a 2-point mean-centered remainder has
+    # acf1 = -0.5 exactly (span == 2 happens at n == window+1, e.g.
+    # n == ppy+1) — the old span>=3 zero-gate silently diverged there.
+    if nL >= 2:
         e_acfs = acf_matrix(R, 10)
         out["e_acf1"] = e_acfs[:, 0].copy()
         out["e_acf10"] = (e_acfs**2).sum(axis=1)
     else:
-        out["spike"] = np.zeros(B)
         out["e_acf1"] = np.zeros(B)
         out["e_acf10"] = np.zeros(B)
 
