@@ -158,11 +158,14 @@ def optimize_alpha_ragged(
         for i in range(nmax):
             fitted[:, i] = level
             level = alpha * P[:, i] + one_m * level
+        sq = fitted - P
+        np.multiply(sq, sq, out=sq)
         out = np.empty(B)
         for g0, g1, n in slices:
-            out[g0:g1] = np.mean(
-                (fitted[g0:g1, :n] - P[g0:g1, :n]) ** 2, axis=1
-            )
+            # np.add.reduce over the row-contiguous slice is exactly
+            # np.mean's pairwise umr_sum, then the same /n division —
+            # one Python call instead of the _mean machinery per group
+            out[g0:g1] = np.add.reduce(sq[g0:g1, :n], axis=1) / n
         return out
 
     a = np.full(B, float(lo))
