@@ -45,6 +45,12 @@ from fforma_spark.functions import kernels as K
 
 _INVPHI = (math.sqrt(5) - 1) / 2
 
+#: element budget for one padded golden-section pod (~32 MB of float64
+#: in the padded matrix + its fitted twin): big enough that the ~90
+#: driver-shaped length groups of a task pool into ONE pod, small
+#: enough that a whale group cannot drag short groups into its padding
+_POD_ELEMS = 4_000_000
+
 
 def ses_last_matrix(alpha, Y: np.ndarray) -> np.ndarray:
     """Final SES level per row — batched ``K.ses_run(alpha, y)[1]``.
@@ -139,6 +145,31 @@ def optimize_alpha_ragged(
         return [
             np.array([K.optimize_alpha(y, lo, hi) for y in Y]) for Y in Ys
         ]
+    # Pod packing: padding every row to the GLOBAL max length would
+    # blow up memory (and waste recurrence steps) when one whale group
+    # shares a batch with many short ones — one 56k-token doc next to
+    # 1.5k ~50-token docs would pad to ~0.7 GB. Pack length-sorted
+    # groups into pods under an element budget; per-row independence
+    # makes pod boundaries invisible to the result.
+    if len(Ys) > 1:
+        order = sorted(range(len(Ys)), key=lambda i: Ys[i].shape[1])
+        pods: list[list[int]] = []
+        cur: list[int] = []
+        rows = 0
+        for i in order:
+            b, n = Ys[i].shape
+            if cur and (rows + b) * n > _POD_ELEMS:
+                pods.append(cur)
+                cur, rows = [], 0
+            cur.append(i)
+            rows += b
+        pods.append(cur)
+        if len(pods) > 1:
+            out: list[np.ndarray | None] = [None] * len(Ys)
+            for pod in pods:
+                for i, al in zip(pod, optimize_alpha_ragged([Ys[i] for i in pod], lo, hi)):
+                    out[i] = al
+            return out  # type: ignore[return-value]
     sizes = [Y.shape[0] for Y in Ys]
     ns = [Y.shape[1] for Y in Ys]
     B = sum(sizes)

@@ -198,3 +198,23 @@ def test_optimize_alpha_ragged_matches_scalar():
     for Y, al in zip(Ys, got):
         want = np.array([K.optimize_alpha(y) for y in Y])
         assert np.array_equal(al, want), Y.shape
+
+
+def test_optimize_alpha_ragged_pod_packing_whale():
+    """A whale-length group must not change results (pod boundaries are
+    invisible), and the padded pods stay bounded: mixed 50k-token whale
+    + many short groups equals per-group scalar output exactly."""
+    from fforma_spark.functions import forecast_batch as fb
+
+    rng = np.random.default_rng(19)
+    Ys = [
+        rng.integers(1, 15, size=(40, n)).astype(np.float64)
+        for n in (10, 54, 92, 200)
+    ] + [rng.integers(1, 15, size=(1, 50_000)).astype(np.float64)]
+    got = fb.optimize_alpha_ragged(Ys)
+    assert len(got) == len(Ys)
+    for Y, al in zip(Ys[:-1], got[:-1]):
+        want = np.array([K.optimize_alpha(y) for y in Y])
+        assert np.array_equal(al, want), Y.shape
+    # whale row: spot-check against the scalar search
+    assert got[-1][0] == K.optimize_alpha(Ys[-1][0])
